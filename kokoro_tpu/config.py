@@ -1,0 +1,309 @@
+"""Training configuration — the single config/flag surface of the framework.
+
+Mirrors the reference ``TrainingConfig`` (reference src/kokoro/training/config.py:11,
+~100 fields) with the same field names and defaults wherever the semantics carry
+over, drops the MPS/CUDA-specific machinery (AMP grad scaler, MPS memory caps,
+torch.compile knobs — reference config.py:330-382), and adds the TPU-native
+surface: device mesh axes, length buckets for static shapes, and dtype policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class TrainingConfig:
+    """Complete training configuration.
+
+    Stability-knob defaults (LR multipliers, clips, loss weights) replicate the
+    reference's tuned values — they encode trained behavior, not incidental
+    implementation detail (reference config.py:34-287).
+    """
+
+    # --- Basic training parameters (reference config.py:16-24) ---
+    data_dir: str = "data/processed_data"
+    output_dir: str = "output_models"
+    num_epochs: int = 30
+    batch_size: int = 16
+    learning_rate: float = 5.0e-5
+    gradient_accumulation_steps: int = 2
+    seed: int = 42
+
+    # --- LR schedule: linear warmup -> OneCycle cosine (reference config.py:26-71,93-96) ---
+    use_onecycle_lr: bool = True
+    max_lr_multiplier: float = 1.0
+    pct_start: float = 0.20
+    use_warmup: bool = True
+    warmup_steps: int = 1200          # optimizer steps, not batches
+    warmup_start_lr_ratio: float = 0.01
+    final_lr_ratio: float = 0.01      # OneCycle floor as a fraction of peak
+
+    # Per-group LR multipliers (reference config.py:34-71)
+    encoder_lr_multiplier: float = 0.65
+    stop_head_lr_multiplier: float = 0.1
+    decoder_ffn_lr_multiplier: float = 0.30
+    decoder_attn_lr_multiplier: float = 0.15
+    variance_embedding_lr_multiplier: float = 0.15
+
+    # --- EMA (reference config.py:85-90) ---
+    use_ema: bool = True
+    ema_decay: Optional[float] = None          # None -> derived from half-life
+    ema_half_life_epochs: float = 1.0
+    ema_update_every: int = 1
+
+    # --- Model architecture (reference config.py:100-131) ---
+    n_mels: int = 80
+    hidden_dim: int = 512
+    n_encoder_layers: int = 6
+    n_decoder_layers: int = 6
+    n_heads: int = 8
+    encoder_ff_dim: int = 1536
+    decoder_ff_dim: int = 1536
+    encoder_dropout: float = 0.15
+    decoder_dropout: float = 0.20
+    decoder_input_dropout: float = 0.15
+    max_decoder_seq_len: int = 4000
+    qk_norm: bool = True
+    use_stochastic_depth: bool = True
+    stochastic_depth_rate: float = 0.1
+    ffn_output_norm: bool = True
+    use_stress_embedding: bool = True
+    use_variance_predictor: bool = True
+
+    # --- Loss weights (reference config.py:133-189) ---
+    duration_loss_weight: float = 0.35
+    stop_token_loss_weight: float = 0.010
+    pitch_loss_weight: float = 1.0
+    energy_loss_weight: float = 1.0
+    pitch_huber_delta: float = 0.05
+    energy_huber_delta: float = 0.05
+    duration_huber_delta: float = 1.0
+    stop_token_pos_weight: float = 17.0
+    stop_token_smooth_tail: int = 6
+    stop_token_smooth_decay: float = 0.5
+
+    # --- SpecAugment on encoder memory (reference config.py:156-166) ---
+    use_spec_augment: bool = True
+    spec_augment_time_mask_max: int = 5
+    spec_augment_freq_mask_max: int = 3
+    spec_augment_num_time_masks: int = 1
+    spec_augment_num_freq_masks: int = 2
+    spec_augment_start_epoch: int = 1
+
+    # --- Variance predictor (reference config.py:192-203) ---
+    variance_filter_size: int = 256
+    variance_kernel_size: int = 3
+    variance_dropout: float = 0.1
+    n_variance_bins: int = 256
+    pitch_extract_fmin: float = 50.0
+    pitch_extract_fmax: float = 800.0
+    pitch_min: float = 0.0
+    pitch_max: float = 1.0
+    energy_min: float = 0.0
+    energy_max: float = 1.0
+    # The reference's length regulator detaches the expanded encoder output
+    # (reference utils/lengths.py:30: tokens.detach() on the CPU round-trip), so
+    # no mel-loss gradient reaches the encoder through the expansion.  That is
+    # trained-in behavior; keep it by default and expose the fix behind a flag.
+    length_regulator_stop_gradient: bool = True
+
+    # --- Audio processing (reference config.py:206-214) ---
+    max_seq_length: int = 1800
+    sample_rate: int = 22050
+    hop_length: int = 256
+    win_length: int = 1024
+    n_fft: int = 1024
+    f_min: float = 0.0
+    f_max: float = 8000.0
+
+    # --- Speed perturbation (reference config.py:216-224) ---
+    use_speed_perturbation: bool = True
+    speed_perturb_range: float = 0.1
+    speed_perturb_prob: float = 0.5
+
+    # --- Feature caching (reference config.py:228-236) ---
+    use_feature_cache: bool = True
+    feature_cache_dir: str = ""
+    precompute_features: bool = False
+    use_memory_cache: bool = True
+
+    # --- Batching: frame budget + static length buckets (reference config.py:238-241) ---
+    use_dynamic_batching: bool = True
+    max_frames_per_batch: int = 15000
+    min_batch_size: int = 4
+    max_batch_size: int = 8
+    # TPU-native: batches are padded to static (mel, phoneme) bucket shapes so
+    # XLA compiles once per bucket instead of once per batch shape.
+    mel_bucket_sizes: Tuple[int, ...] = (256, 512, 768, 1024, 1280, 1536, 1800)
+    phoneme_bucket_sizes: Tuple[int, ...] = (32, 64, 96, 128, 192, 256)
+
+    # --- Gradient clipping & stability (reference config.py:247-287) ---
+    max_grad_norm: float = 1.5
+    projection_spike_clip_norm: float = 20.0
+    attention_spike_clip_norm: float = 4.0
+    ffn_spike_clip_norm: float = 3.0
+    encoder_ffn_spike_clip_norm: float = 8.0
+    stop_head_spike_clip_norm: float = 0.5
+    dec_ffn_max_weight_norm: float = 95.0
+    grad_explosion_warmup_steps: int = 400
+    grad_explosion_warmup_floor: float = 8000.0
+    grad_explosion_min_ema_steps: int = 100
+    grad_explosion_ema_decay: float = 0.95
+    grad_explosion_ema_multiplier: float = 3.0
+    grad_explosion_final_floor: float = 1000.0
+    emergency_clip_norm: float = 0.3
+
+    # Adaptive stabilization thresholds (reference trainer.py:2214-2254)
+    stabilization_soft_frames: int = 1400
+    stabilization_hard_frames: int = 1800
+    max_sequence_dim_cap: int = 2000
+
+    # --- Checkpointing (reference config.py:289-291) ---
+    save_every: int = 5
+    resume_checkpoint: str = "auto"
+    keep_checkpoints: int = 5
+
+    # --- Validation (reference config.py:293-297) ---
+    validation_split: float = 0.1
+    validation_interval: int = 1
+    early_stopping_patience: int = 15
+    early_stopping_min_delta: float = 0.001
+
+    # --- MFA (reference config.py:299-303) ---
+    use_mfa: bool = True
+    mfa_alignment_dir: str = "./mfa_output/alignments"
+    mfa_acoustic_model: str = "russian_mfa"
+    mfa_dictionary: str = "russian_mfa"
+
+    # --- Remat (replaces torch gradient checkpointing, reference config.py:305-312) ---
+    gradient_checkpointing: bool = True
+    checkpoint_segments: int = 2
+
+    # --- Optimizer (reference config.py:337-349) ---
+    weight_decay: float = 0.04
+    ffn_weight_decay: float = 0.1
+    decoder_ffn_weight_decay: float = 0.35
+    adam_eps: float = 1e-8
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # --- Profiling / logging (reference config.py:315-330) ---
+    enable_profiling: bool = False
+    profile_epoch_start: int = 1
+    profile_steps: int = 5
+    enable_interbatch_profiling: bool = False
+    interbatch_report_interval: int = 100
+    verbose: bool = False
+    log_every_steps: int = 10
+    histogram_every_steps: int = 200
+
+    # --- TPU-native surface (no reference counterpart; SURVEY.md §2.9/5.8) ---
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> (jax.device_count(),)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "bfloat16"                # matmul/activation dtype
+    param_dtype: str = "float32"                   # parameter dtype
+    donate_state: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.feature_cache_dir:
+            self.feature_cache_dir = str(Path(self.data_dir) / ".feature_cache")
+        if self.win_length > self.n_fft:
+            raise ValueError(
+                f"win_length ({self.win_length}) cannot exceed n_fft ({self.n_fft})"
+            )
+        if self.hop_length <= 0:
+            raise ValueError("hop_length must be a positive integer")
+        self.mel_bucket_sizes = tuple(sorted(self.mel_bucket_sizes))
+        self.phoneme_bucket_sizes = tuple(sorted(self.phoneme_bucket_sizes))
+        if self.mel_bucket_sizes and self.mel_bucket_sizes[-1] < self.max_seq_length:
+            self.mel_bucket_sizes = self.mel_bucket_sizes + (self.max_seq_length,)
+
+    # ------------------------------------------------------------------
+    # Serialization (checkpoints embed the config; reference trainer.py:2011)
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        out = dataclasses.asdict(self)
+        out["__config_class__"] = type(self).__name__
+        return out
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TrainingConfig":
+        data = dict(data)
+        data.pop("__config_class__", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - known
+        if unknown:
+            # Forward/backward compat: ignore unknown fields, as the reference's
+            # duck-typed getattr(config, k, default) pattern does.
+            for k in unknown:
+                data.pop(k)
+        return cls(**data)
+
+    def save_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def load_json(cls, path: str | Path) -> "TrainingConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+
+def get_default_config(**overrides) -> TrainingConfig:
+    """Default config (reference config.py:579)."""
+    return TrainingConfig(**overrides)
+
+
+def get_low_memory_config(**overrides) -> TrainingConfig:
+    """Memory-lean preset (reference config.py:585-598)."""
+    base = dict(
+        batch_size=8,
+        gradient_accumulation_steps=4,
+        max_frames_per_batch=8000,
+        max_batch_size=6,
+        gradient_checkpointing=True,
+        checkpoint_segments=4,
+    )
+    base.update(overrides)
+    return TrainingConfig(**base)
+
+
+def get_high_performance_config(**overrides) -> TrainingConfig:
+    """Throughput preset (reference config.py:600-613): no remat, bigger budget."""
+    base = dict(
+        batch_size=32,
+        gradient_accumulation_steps=1,
+        max_frames_per_batch=30000,
+        max_batch_size=16,
+        gradient_checkpointing=False,
+    )
+    base.update(overrides)
+    return TrainingConfig(**base)
+
+
+def get_smoke_test_config(**overrides) -> TrainingConfig:
+    """Tiny model for smoke tests (mirrors reference README.md:97-103 smoke run)."""
+    base = dict(
+        num_epochs=1,
+        batch_size=2,
+        hidden_dim=64,
+        n_encoder_layers=2,
+        n_decoder_layers=2,
+        n_heads=4,
+        encoder_ff_dim=128,
+        decoder_ff_dim=128,
+        variance_filter_size=32,
+        warmup_steps=2,
+        use_mfa=False,
+        use_dynamic_batching=False,
+        use_speed_perturbation=False,
+        mel_bucket_sizes=(64, 128),
+        phoneme_bucket_sizes=(16, 32),
+        max_seq_length=128,
+        gradient_checkpointing=False,
+    )
+    base.update(overrides)
+    return TrainingConfig(**base)

@@ -1,0 +1,360 @@
+"""Transformer building blocks: multi-head attention (RoPE, QK/V-RMSNorm),
+GLU feed-forward, stochastic depth, pre-norm encoder/decoder blocks.
+
+Behavior parity with reference model/transformers.py:
+
+* ``MultiHeadAttentionImproved`` (:114): bias-free w_q/w_k/w_v + biased w_o,
+  xavier-uniform init, optional per-head RMSNorm on Q, K **and V** (:145-148),
+  RoPE relative positions, attention-weight dropout, 1/sqrt(d_k) scaling.
+* ``GLUFeedForward`` (:63): linear1 -> 2x split (gate, linear) ->
+  act(gate) * linear -> dropout -> linear2 (gain-0.5 init) -> optional RMSNorm
+  -> dropout.
+* ``drop_path`` (:16): per-sample stochastic depth, linearly scaled by depth.
+* Pre-norm encoder block (:440) / decoder block with self + cross + FFN (:492),
+  final LayerNorm on each stack (:612, model.py:122).
+
+TPU-native differences: no MPS chunked attention (a 1800x1800 softmax attention
+is small for one TPU core — SURVEY.md §5.7); KV caches are fixed-size
+preallocated arrays updated with ``dynamic_update_slice`` so the AR decode loop
+compiles to a single ``lax.while_loop``; remat is applied at the stack level
+with ``nn.remat`` instead of torch checkpoint wrappers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kokoro_tpu.models.positional import apply_rope
+
+Dtype = Any
+
+NEG_INF = -1e9  # large finite negative: avoids NaN from all-masked softmax rows
+
+xavier = nn.initializers.xavier_uniform
+xavier_half = lambda: nn.initializers.variance_scaling(0.25, "fan_avg", "uniform")
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference transformers.py:16-41)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with optional RoPE and per-head q/k/v RMSNorm.
+
+    Functional KV cache: pass ``kv_cache={'k': (B,H,S,D), 'v': ..., 'index': i}``
+    for single-step decode; the new K/V are written at ``index`` and attention
+    spans ``[0, index]``.  Pass ``precomputed_kv=(K, V)`` for cross-attention
+    with a fixed encoder memory (reference transformers.py:527-541).
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+    use_rope: bool = False
+    qk_norm: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.d_model
+        dense = lambda use_bias, init, name: nn.Dense(
+            d, use_bias=use_bias, kernel_init=init(), name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.w_q = dense(False, xavier, "w_q")
+        self.w_k = dense(False, xavier, "w_k")
+        self.w_v = dense(False, xavier, "w_v")
+        self.w_o = dense(True, xavier, "w_o")
+        if self.qk_norm:
+            head_dim = d // self.num_heads
+            mk = lambda name: nn.RMSNorm(
+                name=name, dtype=self.dtype, param_dtype=self.param_dtype,
+                feature_axes=-1, use_scale=True,
+            )
+            self.q_norm = mk("q_norm")
+            self.k_norm = mk("k_norm")
+            self.v_norm = mk("v_norm")
+        self.attn_dropout = nn.Dropout(self.dropout)
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def project_kv(self, memory: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute cross-attention K/V for a fixed encoder memory."""
+        k = self._heads(self.w_k(memory))
+        v = self._heads(self.w_v(memory))
+        if self.qk_norm:
+            k = self.k_norm(k)
+            v = self.v_norm(v)
+        return k, v
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        *,
+        causal: bool = False,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+        deterministic: bool = True,
+        q_positions: Optional[jnp.ndarray] = None,
+        kv_cache: Optional[dict] = None,
+        precomputed_kv: Optional[tuple] = None,
+    ):
+        """Returns ``(output, updated_kv_cache_or_None)``."""
+        B, Tq, _ = query.shape
+        head_dim = self.d_model // self.num_heads
+
+        q = self._heads(self.w_q(query))  # (B, H, Tq, Dh)
+        if self.qk_norm:
+            q = self.q_norm(q)
+
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+            new_cache = None
+            kv_positions = None
+        elif kv_cache is not None:
+            # Single-step (or short-segment) cached decode.
+            if key is None:
+                key = query
+            k_new = self._heads(self.w_k(key))
+            v_new = self._heads(self.w_v(key))
+            if self.qk_norm:
+                k_new = self.k_norm(k_new)
+                v_new = self.v_norm(v_new)
+            index = kv_cache["index"]
+            if self.use_rope:
+                pos_new = index + jnp.arange(Tq)
+                k_new = apply_rope(k_new, pos_new)
+                q = apply_rope(q, pos_new if q_positions is None else q_positions)
+            k = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k_new.astype(kv_cache["k"].dtype), (0, 0, index, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v_new.astype(kv_cache["v"].dtype), (0, 0, index, 0)
+            )
+            new_cache = {"k": k, "v": v, "index": index + Tq}
+            S = k.shape[2]
+            kv_positions = jnp.arange(S)
+            # Mask out cache slots beyond the write frontier.
+            valid = kv_positions[None, :] <= (index + Tq - 1)
+            key_padding_mask = (
+                ~jnp.broadcast_to(valid, (B, S))
+                if key_padding_mask is None
+                else (key_padding_mask | ~valid)
+            )
+        else:
+            if key is None:
+                key = query
+            if value is None:
+                value = key
+            k = self._heads(self.w_k(key))
+            v = self._heads(self.w_v(value))
+            if self.qk_norm:
+                k = self.k_norm(k)
+                v = self.v_norm(v)
+            if self.use_rope:
+                pos = jnp.arange(k.shape[2]) if q_positions is None else q_positions
+                q = apply_rope(q, pos[: q.shape[2]] if q_positions is None else pos)
+                k = apply_rope(k, jnp.arange(k.shape[2]))
+            new_cache = None
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+
+        if causal and kv_cache is None:
+            Tk = k.shape[2]
+            causal_mask = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=Tk - Tq)
+            logits = jnp.where(causal_mask[None, None], logits, NEG_INF)
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :].astype(bool), NEG_INF, logits
+            )
+
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        weights = self.attn_dropout(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+        return self.w_o(out), new_cache
+
+
+class GLUFeedForward(nn.Module):
+    """GLU feed-forward (reference transformers.py:63-112)."""
+
+    d_model: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+    use_output_norm: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = {"gelu": nn.gelu, "silu": nn.silu, "swish": nn.silu, "relu": nn.relu}[
+            self.activation
+        ]
+        h = nn.Dense(
+            self.dim_feedforward * 2, kernel_init=xavier(), name="linear1",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x)
+        gate, linear = jnp.split(h, 2, axis=-1)
+        h = act(gate) * linear
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            self.d_model, kernel_init=xavier_half(), name="linear2",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(h)
+        if self.use_output_norm:
+            h = nn.RMSNorm(
+                name="output_norm", dtype=self.dtype, param_dtype=self.param_dtype
+            )(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm encoder block: self-attn (RoPE) + GLU FFN
+    (reference transformers.py:440-490, wrapper :665-677)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    drop_path_rate: float = 0.0
+    qk_norm: bool = False
+    ffn_output_norm: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.LayerNorm(name="norm1", **common)(x)
+        attn_out, _ = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout,
+            use_rope=True, qk_norm=self.qk_norm, name="self_attn", **common,
+        )(h, key_padding_mask=padding_mask, deterministic=deterministic)
+        attn_out = drop_path(
+            attn_out, self.drop_path_rate, deterministic,
+            self.make_rng("dropout") if not deterministic else None,
+        )
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        x = x + attn_out
+
+        h = nn.LayerNorm(name="norm2", **common)(x)
+        ff_out = GLUFeedForward(
+            self.d_model, self.dim_feedforward, self.dropout,
+            use_output_norm=self.ffn_output_norm, name="ff", **common,
+        )(h, deterministic=deterministic)
+        ff_out = drop_path(
+            ff_out, self.drop_path_rate, deterministic,
+            self.make_rng("dropout") if not deterministic else None,
+        )
+        ff_out = nn.Dropout(self.dropout)(ff_out, deterministic=deterministic)
+        return x + ff_out
+
+
+class DecoderBlock(nn.Module):
+    """Pre-norm decoder block: causal self-attn (RoPE) + cross-attn + GLU FFN
+    (reference transformers.py:492-597)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    drop_path_rate: float = 0.0
+    qk_norm: bool = False
+    ffn_output_norm: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.norm1 = nn.LayerNorm(name="norm1", **common)
+        self.norm2 = nn.LayerNorm(name="norm2", **common)
+        self.norm3 = nn.LayerNorm(name="norm3", **common)
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout,
+            use_rope=True, qk_norm=self.qk_norm, name="self_attn", **common,
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout,
+            use_rope=False, qk_norm=self.qk_norm, name="cross_attn", **common,
+        )
+        self.ff = GLUFeedForward(
+            self.d_model, self.dim_feedforward, self.dropout,
+            use_output_norm=self.ffn_output_norm, name="ff", **common,
+        )
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        memory: Optional[jnp.ndarray] = None,
+        memory_padding_mask: Optional[jnp.ndarray] = None,
+        tgt_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        self_kv_cache: Optional[dict] = None,
+        cross_kv: Optional[tuple] = None,
+    ):
+        """Full-sequence (training) or cached single-step (decode) forward.
+
+        Returns ``(y, new_self_kv_cache)``.  Arguments are positional so the
+        stack can wrap this block in ``nn.remat`` with ``deterministic`` as a
+        static arg (kwargs cannot be made static).
+        """
+        det = deterministic
+
+        h = self.norm1(x)
+        attn_out, new_cache = self.self_attn(
+            h, causal=True, key_padding_mask=tgt_padding_mask,
+            deterministic=det, kv_cache=self_kv_cache,
+        )
+        attn_out = drop_path(
+            attn_out, self.drop_path_rate, det,
+            self.make_rng("dropout") if not det else None,
+        )
+        x = x + self.dropout_layer(attn_out, deterministic=det)
+
+        h = self.norm2(x)
+        cross_out, _ = self.cross_attn(
+            h, memory, memory,
+            key_padding_mask=memory_padding_mask, deterministic=det,
+            precomputed_kv=cross_kv,
+        )
+        cross_out = drop_path(
+            cross_out, self.drop_path_rate, det,
+            self.make_rng("dropout") if not det else None,
+        )
+        x = x + self.dropout_layer(cross_out, deterministic=det)
+
+        h = self.norm3(x)
+        ff_out = self.ff(h, deterministic=det)
+        ff_out = drop_path(
+            ff_out, self.drop_path_rate, det,
+            self.make_rng("dropout") if not det else None,
+        )
+        return x + self.dropout_layer(ff_out, deterministic=det), new_cache
+
+    def project_cross_kv(self, memory: jnp.ndarray):
+        return self.cross_attn.project_kv(memory)

@@ -1,0 +1,22 @@
+"""Data-parallel scale-out over a jax.sharding.Mesh.
+
+This layer has NO reference counterpart — the reference trains on exactly one
+device (SURVEY.md §2.9: no torch.distributed anywhere).  The semantics it must
+preserve are the reference's single-device ones: global batch = sum of
+per-device batches, identical loss masking, EMA/scheduler counters advance per
+optimizer step on GLOBAL quantities.
+"""
+
+from kokoro_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "make_sharded_train_step",
+    "shard_batch",
+]

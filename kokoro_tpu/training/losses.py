@@ -1,0 +1,187 @@
+"""Training losses — masked means with finite-value filtering.
+
+Parity with reference training/losses.py:9-216:
+
+* mel: L1 over (mel mask AND finite elements) (:40-46),
+* duration: Huber(delta=1) on ``log(d + 1)`` targets over (phoneme mask AND
+  d > 0) (:48-98),
+* stop: BCE-with-logits with ``pos_weight`` over the mel mask (:100-105),
+* pitch/energy: Huber(delta=0.05) on frame-level targets truncated to the mel
+  length, masked by the mel mask (:107-156),
+* per-loss clamps (mel/duration/stop <= 100, pitch/energy <= 10) and weighted
+  total (:201-207).
+
+All functions are pure jnp — they run inside the jitted train step.  Where the
+reference logs divergence warnings host-side (:158-199), we return the raw loss
+values in the metrics dict and let the host loop do the logging.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of ``values`` over positions where ``mask`` is True AND the value is
+    finite; 0.0 when nothing is valid (reference losses.py:40-46)."""
+    valid = mask & jnp.isfinite(values)
+    total = jnp.sum(jnp.where(valid, values, 0.0))
+    count = jnp.sum(valid)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - target)
+
+
+def huber_loss(pred: jnp.ndarray, target: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """torch.nn.HuberLoss semantics: 0.5*e^2 if |e| < delta else delta*(|e| - 0.5*delta)."""
+    err = jnp.abs(pred - target)
+    return jnp.where(
+        err < delta, 0.5 * err**2, delta * (err - 0.5 * delta)
+    )
+
+
+def bce_with_logits(
+    logits: jnp.ndarray, targets: jnp.ndarray, pos_weight: float = 1.0
+) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss(pos_weight) elementwise:
+    ``pw * z * softplus(-x) + (1 - z) * softplus(x)``."""
+    softplus = lambda v: jnp.logaddexp(v, 0.0)
+    return pos_weight * targets * softplus(-logits) + (1.0 - targets) * softplus(
+        logits
+    )
+
+
+def calculate_training_losses(
+    *,
+    predicted_mel: jnp.ndarray,            # (B, T, M)
+    predicted_log_durations: jnp.ndarray,  # (B, L)
+    predicted_stop_logits: jnp.ndarray,    # (B, T)
+    mel_specs: jnp.ndarray,                # (B, T, M)
+    phoneme_durations: jnp.ndarray,        # (B, L)
+    stop_token_targets: jnp.ndarray,       # (B, T)
+    mel_lengths: jnp.ndarray,              # (B,)
+    phoneme_lengths: jnp.ndarray,          # (B,)
+    predicted_pitch: Optional[jnp.ndarray] = None,   # (B, T)
+    predicted_energy: Optional[jnp.ndarray] = None,  # (B, T)
+    pitch_targets: Optional[jnp.ndarray] = None,     # (B, T) frame-level
+    energy_targets: Optional[jnp.ndarray] = None,    # (B, T) frame-level
+    duration_loss_weight: float = 0.35,
+    stop_token_loss_weight: float = 0.010,
+    pitch_loss_weight: float = 1.0,
+    energy_loss_weight: float = 1.0,
+    stop_token_pos_weight: float = 17.0,
+    duration_huber_delta: float = 1.0,
+    pitch_huber_delta: float = 0.05,
+    energy_huber_delta: float = 0.05,
+) -> Dict[str, Any]:
+    """Returns dict: total, mel, duration, stop, pitch, energy (all scalars)."""
+    T = mel_specs.shape[1]
+    L = phoneme_durations.shape[1]
+    mel_mask = jnp.arange(T)[None, :] < mel_lengths[:, None]          # (B, T)
+    phoneme_mask = jnp.arange(L)[None, :] < phoneme_lengths[:, None]  # (B, L)
+
+    loss_mel = masked_mean(
+        l1_loss(predicted_mel, mel_specs), mel_mask[:, :, None]
+    )
+
+    target_log_durations = jnp.log(phoneme_durations.astype(jnp.float32) + 1.0)
+    dur_valid = phoneme_mask & (phoneme_durations > 0)
+    loss_duration = masked_mean(
+        huber_loss(predicted_log_durations, target_log_durations,
+                   duration_huber_delta),
+        dur_valid,
+    )
+
+    loss_stop = masked_mean(
+        bce_with_logits(
+            predicted_stop_logits, stop_token_targets, stop_token_pos_weight
+        ),
+        mel_mask,
+    )
+
+    if predicted_pitch is not None and pitch_targets is not None:
+        loss_pitch = masked_mean(
+            huber_loss(
+                predicted_pitch[:, :T], pitch_targets[:, :T], pitch_huber_delta
+            ),
+            mel_mask,
+        )
+    else:
+        loss_pitch = jnp.zeros(())
+
+    if predicted_energy is not None and energy_targets is not None:
+        loss_energy = masked_mean(
+            huber_loss(
+                predicted_energy[:, :T], energy_targets[:, :T], energy_huber_delta
+            ),
+            mel_mask,
+        )
+    else:
+        loss_energy = jnp.zeros(())
+
+    # Per-loss clamps (reference losses.py:197-205)
+    loss_mel = jnp.minimum(loss_mel, 100.0)
+    loss_duration = jnp.minimum(loss_duration, 100.0)
+    loss_stop = jnp.minimum(loss_stop, 100.0)
+    loss_pitch = jnp.minimum(loss_pitch, 10.0)
+    loss_energy = jnp.minimum(loss_energy, 10.0)
+
+    total = (
+        loss_mel
+        + loss_duration * duration_loss_weight
+        + loss_stop * stop_token_loss_weight
+        + loss_pitch * pitch_loss_weight
+        + loss_energy * energy_loss_weight
+    )
+    return {
+        "total": total,
+        "mel": loss_mel,
+        "duration": loss_duration,
+        "stop": loss_stop,
+        "pitch": loss_pitch,
+        "energy": loss_energy,
+    }
+
+
+def build_stop_token_targets(
+    T: int, lengths: jnp.ndarray, tail: int = 6, decay: float = 0.5
+) -> jnp.ndarray:
+    """Temporally-smoothed stop targets for a batch (reference data/dataset.py:32-65).
+
+    ``frame[len-1-k] = decay^k`` for ``k = 0..tail``; zero elsewhere.  Batched,
+    static-shape version: built from position arithmetic, no scatter.
+
+    Args:
+        T: padded frame-buffer length.
+        lengths: (B,) true mel lengths.
+    """
+    pos = jnp.arange(T)[None, :]                                 # (1, T)
+    k = (lengths[:, None] - 1) - pos                             # (B, T) distance from stop frame
+    in_tail = (k >= 0) & (k <= tail) & (pos < lengths[:, None])
+    return jnp.where(in_tail, decay ** jnp.maximum(k, 0).astype(jnp.float32), 0.0)
+
+
+def spectral_convergence(
+    pred_mel: jnp.ndarray, target_mel: jnp.ndarray, mel_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Validation metric: ||pred - target||_F / ||target||_F over valid frames
+    (reference trainer.py:1865-1888)."""
+    m = mel_mask[:, :, None]
+    diff = jnp.where(m, pred_mel - target_mel, 0.0)
+    tgt = jnp.where(m, target_mel, 0.0)
+    return jnp.sqrt(jnp.sum(diff**2)) / jnp.maximum(jnp.sqrt(jnp.sum(tgt**2)), 1e-8)
+
+
+def f0_rmse(
+    pred_pitch: jnp.ndarray, target_pitch: jnp.ndarray, mel_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Validation metric: frame-level F0 RMSE over voiced+valid frames
+    (reference trainer.py:1890-1910)."""
+    valid = mel_mask & (target_pitch > 0)
+    se = jnp.where(valid, (pred_pitch - target_pitch) ** 2, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sqrt(jnp.sum(se) / count)

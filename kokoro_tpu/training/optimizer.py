@@ -1,0 +1,367 @@
+"""Optimizer stack: 10-group AdamW with per-group LR schedules, per-parameter
+gradient pre-clips, post-step weight-norm projection, and EMA — as optax
+transforms usable inside a jitted train step.
+
+Parity with reference trainer.py:
+
+* Param-group partition (:446-675): encoder (wd=0) / encoder-FFN (wd=0.1) /
+  decoder no-decay / decoder other (wd=0.04) / decoder attn (+-decay, lr 0.15x)
+  / decoder FFN (+-decay, lr 0.30x, wd 0.35) / variance embeddings (lr 0.15x,
+  wd 0) / stop head (lr 0.1x, wd 0).  All ``duration_adaptor`` (variance
+  predictor) params are no-decay at base LR (:524-531).
+* LR schedule (:691-800): linear warmup (ratio 0.01 -> 1.0 over warmup_steps,
+  per-group) then OneCycleLR cosine with ``div_factor = max(1, mult)`` (flat
+  ascending phase when the multiplier is 1) and ``final_div_factor = 1e4``.
+* Per-parameter pre-clips (:1332-1407): projections 20 / attention 4 /
+  decoder FFN 3 / encoder FFN 8 / stop head 0.5 — applied per tensor before
+  the global clip.
+* Post-step FFN weight-norm projection to ``dec_ffn_max_weight_norm``
+  (:844-913).
+* EMA decay derived from half-life epochs (reference utils/ema.py:6-27).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from kokoro_tpu.config import TrainingConfig
+
+# ----------------------------------------------------------------------
+# Param labeling (the single labeling function; SURVEY.md §7 "hard parts")
+# ----------------------------------------------------------------------
+
+GROUP_LABELS = (
+    "encoder",
+    "encoder_ffn",
+    "decoder_no_decay",
+    "decoder_other",
+    "decoder_attn",
+    "decoder_attn_no_decay",
+    "decoder_ffn",
+    "decoder_ffn_no_decay",
+    "variance_embed",
+    "stop_head",
+)
+
+_ENCODER_PREFIXES = ("text_embedding", "stress_embedding", "encoder_layer_", "encoder_norm")
+_NORM_MARKERS = ("norm", "scale")  # LayerNorm/RMSNorm params & masked-GN scales
+
+
+def _is_no_decay_leaf(path_str: str, leaf_name: str) -> bool:
+    """biases and all norm affine params are excluded from weight decay
+    (reference trainer.py:520-531)."""
+    if leaf_name == "bias":
+        return True
+    if "norm" in path_str:
+        return True
+    if leaf_name in ("scale",):
+        return True
+    if "norm" in leaf_name:  # norm0_scale / norm1_bias in VariancePredictor
+        return True
+    return False
+
+
+def label_for_path(path: tuple) -> str:
+    """Map a flax param path (tuple of keys) to its optimizer group label."""
+    keys = [getattr(k, "key", str(k)) for k in path]
+    path_str = "/".join(keys)
+    leaf_name = keys[-1]
+
+    if keys[0] == "params":
+        keys = keys[1:]
+        path_str = "/".join(keys)
+    top = keys[0]
+
+    if top == "stop_token_predictor":
+        return "stop_head"
+
+    if top == "variance_adaptor":
+        # pitch/energy embedding tables get their own LR group; every other
+        # variance predictor param is no-decay at base LR (reference :524-531,
+        # :570-575 -> decoder_other group with wd=0)
+        if "pitch_embedding" in path_str or "energy_embedding" in path_str:
+            return "variance_embed"
+        return "decoder_no_decay"
+
+    if any(top.startswith(p) for p in _ENCODER_PREFIXES):
+        # Encoder FFN linear weights get ffn_weight_decay (reference :541-547)
+        if "/ff/" in f"/{path_str}/" and leaf_name == "kernel" and "norm" not in path_str:
+            return "encoder_ffn"
+        return "encoder"
+
+    no_decay = _is_no_decay_leaf(path_str, leaf_name)
+    is_ffn = "/ff/" in f"/{path_str}/"
+    is_attn = "self_attn" in path_str or "cross_attn" in path_str
+
+    if is_ffn:
+        return "decoder_ffn_no_decay" if no_decay else "decoder_ffn"
+    if is_attn:
+        return "decoder_attn_no_decay" if no_decay else "decoder_attn"
+    if no_decay:
+        return "decoder_no_decay"
+    return "decoder_other"
+
+
+def label_params(params) -> Any:
+    """Pytree of group labels matching ``params``' structure."""
+    return jax.tree_util.tree_map_with_path(lambda p, _: label_for_path(p), params)
+
+
+def group_lr_multiplier(label: str, config: TrainingConfig) -> float:
+    return {
+        "encoder": config.encoder_lr_multiplier,
+        "encoder_ffn": config.encoder_lr_multiplier,
+        "decoder_no_decay": 1.0,
+        "decoder_other": 1.0,
+        "decoder_attn": config.decoder_attn_lr_multiplier,
+        "decoder_attn_no_decay": config.decoder_attn_lr_multiplier,
+        "decoder_ffn": config.decoder_ffn_lr_multiplier,
+        "decoder_ffn_no_decay": config.decoder_ffn_lr_multiplier,
+        "variance_embed": config.variance_embedding_lr_multiplier,
+        "stop_head": config.stop_head_lr_multiplier,
+    }[label]
+
+
+def group_weight_decay(label: str, config: TrainingConfig) -> float:
+    return {
+        "encoder": 0.0,
+        "encoder_ffn": config.ffn_weight_decay,
+        "decoder_no_decay": 0.0,
+        "decoder_other": config.weight_decay,
+        "decoder_attn": config.weight_decay,
+        "decoder_attn_no_decay": 0.0,
+        "decoder_ffn": config.decoder_ffn_weight_decay,
+        "decoder_ffn_no_decay": 0.0,
+        "variance_embed": 0.0,
+        "stop_head": 0.0,
+    }[label]
+
+
+# ----------------------------------------------------------------------
+# Per-parameter gradient pre-clips (reference trainer.py:1332-1407)
+# ----------------------------------------------------------------------
+
+def preclip_norm_for_path(path: tuple, config: TrainingConfig) -> float:
+    """Max L2 norm applied to this tensor's gradient before the global clip.
+    0.0 = no pre-clip."""
+    keys = [getattr(k, "key", str(k)) for k in path]
+    if keys and keys[0] == "params":
+        keys = keys[1:]
+    path_str = "/".join(keys)
+    leaf_name = keys[-1]
+    top = keys[0]
+
+    if top in ("mel_projection_in", "mel_projection_out"):
+        return config.projection_spike_clip_norm
+    if top == "stop_token_predictor":
+        return config.stop_head_spike_clip_norm
+    in_encoder = top.startswith("encoder_layer_")
+    in_decoder = top.startswith("decoder_layer_")
+    is_attn_w = (
+        ("self_attn" in path_str or "cross_attn" in path_str)
+        and leaf_name == "kernel"
+        and "norm" not in path_str
+    )
+    if (in_encoder or in_decoder) and is_attn_w:
+        return config.attention_spike_clip_norm
+    # FFN linear1/linear2 weights AND biases (reference :1370-1372)
+    is_ffn_linear = "/ff/" in f"/{path_str}/" and (
+        "linear1" in path_str or "linear2" in path_str
+    )
+    if is_ffn_linear and in_encoder:
+        return config.encoder_ffn_spike_clip_norm
+    if is_ffn_linear:
+        return config.ffn_spike_clip_norm
+    return 0.0
+
+
+def apply_preclips(grads, clip_tree):
+    """Scale each gradient tensor whose L2 norm exceeds its per-param ceiling."""
+
+    def clip_leaf(g, c):
+        if c <= 0:
+            return g
+        norm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+        scale = jnp.where(norm > c, c / (norm + 1e-12), 1.0)
+        return g * scale.astype(g.dtype)
+
+    return jax.tree_util.tree_map(clip_leaf, grads, clip_tree)
+
+
+def build_preclip_tree(params, config: TrainingConfig):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: preclip_norm_for_path(p, config), params
+    )
+
+
+# ----------------------------------------------------------------------
+# LR schedule: linear warmup -> OneCycle cosine (reference trainer.py:691-800)
+# ----------------------------------------------------------------------
+
+def make_group_schedule(
+    config: TrainingConfig, total_steps: int, label: str
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Per-group LR as a function of the optimizer step."""
+    mult = group_lr_multiplier(label, config)
+    base_lr = config.learning_rate * mult
+    max_lr_multiplier = config.max_lr_multiplier
+    max_lr = base_lr * max_lr_multiplier
+    warmup = (
+        min(config.warmup_steps, max(total_steps // 2, 1))
+        if config.use_warmup
+        else 0
+    )  # warmup guard (reference trainer.py:1637)
+    onecycle_steps = max(total_steps - warmup, 1)
+    pct_start = config.pct_start
+    # div_factor = max(1, multiplier) when warming up, else classic 25
+    div_factor = max(1.0, float(max_lr_multiplier)) if config.use_warmup else 25.0
+    final_div_factor = 1.0e4
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    rise_steps = max(int(pct_start * onecycle_steps), 1)
+    fall_steps = max(onecycle_steps - rise_steps, 1)
+    warmup_start = base_lr * config.warmup_start_lr_ratio
+    warmup_target = min(base_lr, max_lr)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        # Linear warmup
+        w_frac = jnp.clip(step / jnp.maximum(warmup, 1), 0.0, 1.0)
+        warmup_lr = warmup_start + (warmup_target - warmup_start) * w_frac
+        # OneCycle: cosine rise then cosine fall (PyTorch anneal_strategy='cos')
+        t = jnp.maximum(step - warmup, 0.0)
+        rise_frac = jnp.clip(t / rise_steps, 0.0, 1.0)
+        rise_lr = max_lr + (initial_lr - max_lr) * (
+            1.0 + jnp.cos(jnp.pi * rise_frac)
+        ) / 2.0
+        fall_frac = jnp.clip((t - rise_steps) / fall_steps, 0.0, 1.0)
+        fall_lr = min_lr + (max_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * fall_frac)) / 2.0
+        onecycle_lr = jnp.where(t < rise_steps, rise_lr, fall_lr)
+        if warmup == 0:
+            return onecycle_lr
+        return jnp.where(step < warmup, warmup_lr, onecycle_lr)
+
+    return schedule
+
+
+# ----------------------------------------------------------------------
+# Optimizer assembly
+# ----------------------------------------------------------------------
+
+def build_optimizer(
+    config: TrainingConfig, params, total_steps: int
+) -> optax.GradientTransformation:
+    """10-group AdamW with per-group schedules (reference trainer.py:446-690).
+
+    The adaptive global clip and the per-param pre-clips are applied in the
+    train step (they depend on runtime state); this transformation is AdamW +
+    per-group decayed weights + per-group LR schedules.
+    """
+    labels = label_params(params)
+    transforms: Dict[str, optax.GradientTransformation] = {}
+    for label in GROUP_LABELS:
+        transforms[label] = optax.adamw(
+            learning_rate=make_group_schedule(config, total_steps, label),
+            b1=config.adam_b1,
+            b2=config.adam_b2,
+            eps=config.adam_eps,
+            weight_decay=group_weight_decay(label, config),
+        )
+    return optax.multi_transform(transforms, labels)
+
+
+# ----------------------------------------------------------------------
+# Post-step FFN weight-norm projection (reference trainer.py:844-913)
+# ----------------------------------------------------------------------
+
+def apply_weight_norm_constraints(params, config: TrainingConfig):
+    """Project encoder/decoder FFN linear kernels back onto the L2 ball of
+    radius ``dec_ffn_max_weight_norm`` after an optimizer step."""
+    max_norm = config.dec_ffn_max_weight_norm
+    if max_norm <= 0:
+        return params
+
+    def project(path, p):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        path_str = "/".join(keys)
+        in_ffn_linear = (
+            (keys[0].startswith("decoder_layer_") or keys[0].startswith("encoder_layer_"))
+            and "/ff/" in f"/{path_str}/"
+            and ("linear1" in path_str or "linear2" in path_str)
+            and keys[-1] == "kernel"
+        )
+        if not in_ffn_linear:
+            return p
+        norm = jnp.sqrt(jnp.sum(p.astype(jnp.float32) ** 2))
+        scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-12), 1.0)
+        return p * scale.astype(p.dtype)
+
+    return jax.tree_util.tree_map_with_path(project, params)
+
+
+# ----------------------------------------------------------------------
+# EMA (reference utils/ema.py, trainer.py:801-842)
+# ----------------------------------------------------------------------
+
+def recommended_ema_decay(steps_per_epoch: int, half_life_epochs: float) -> float:
+    """decay = exp(-ln2 / (steps_per_epoch * k)), clipped to [0.9, 0.9999]."""
+    if steps_per_epoch <= 0 or half_life_epochs <= 0:
+        return 0.9999
+    decay = math.exp(-math.log(2.0) / (steps_per_epoch * half_life_epochs))
+    return max(0.9, min(decay, 0.9999))
+
+
+def ema_update(ema_params, new_params, decay: float):
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, new_params
+    )
+
+
+# ----------------------------------------------------------------------
+# Gradient explosion detector (reference trainer.py:914-940, 1315-1330)
+# ----------------------------------------------------------------------
+
+class GradExplosionState(NamedTuple):
+    ema_norm: jnp.ndarray       # EMA(0.95) of global grad norms
+    num_steps: jnp.ndarray      # optimizer steps observed
+
+
+def grad_explosion_threshold(
+    state: GradExplosionState, step: jnp.ndarray, config: TrainingConfig
+) -> jnp.ndarray:
+    """EMA * multiplier vs a warmup-decayed absolute floor
+    (reference trainer.py:1315-1330): floor decays linearly 8000 -> 1000 over
+    ``grad_explosion_warmup_steps``; below ``min_ema_steps`` observations the
+    detector is inert (returns +inf)."""
+    w = config.grad_explosion_warmup_steps
+    frac = jnp.clip(step.astype(jnp.float32) / max(w, 1), 0.0, 1.0)
+    floor = (
+        config.grad_explosion_warmup_floor
+        + (config.grad_explosion_final_floor - config.grad_explosion_warmup_floor)
+        * frac
+    )
+    ema_thresh = state.ema_norm * config.grad_explosion_ema_multiplier
+    thresh = jnp.maximum(ema_thresh, floor)
+    return jnp.where(
+        state.num_steps >= config.grad_explosion_min_ema_steps,
+        thresh,
+        jnp.asarray(jnp.inf, jnp.float32),
+    )
+
+
+def update_grad_explosion_state(
+    state: GradExplosionState, grad_norm: jnp.ndarray, decay: float = 0.95
+) -> GradExplosionState:
+    new_ema = jnp.where(
+        state.num_steps == 0,
+        grad_norm,
+        decay * state.ema_norm + (1.0 - decay) * grad_norm,
+    )
+    return GradExplosionState(new_ema, state.num_steps + 1)

@@ -1,0 +1,215 @@
+"""KokoroModel forward tests: shapes, jit, gradient health, stop-head
+gradient isolation, RoPE/attention behavior (mirrors reference coverage of
+test_attention_operations / test_encode_and_expand / test_stop_head_clip)."""
+
+import flax.linen  # noqa: F401 (ensure flax importable before jax config)
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kokoro_tpu.models.blocks import GLUFeedForward, MultiHeadAttention
+from kokoro_tpu.models.kokoro import KokoroModel
+
+VOCAB = 30
+
+
+def tiny_model(**kw):
+    defaults = dict(
+        vocab_size=VOCAB, n_mels=8, hidden_dim=32, n_encoder_layers=2,
+        n_decoder_layers=2, n_heads=4, encoder_ff_dim=48, decoder_ff_dim=48,
+        variance_filter_size=16, n_variance_bins=16,
+        gradient_checkpointing=False, use_stochastic_depth=False,
+    )
+    defaults.update(kw)
+    return KokoroModel(**defaults)
+
+
+def make_batch(B=2, L=6, T=18, M=8, seed=0):
+    rng = np.random.default_rng(seed)
+    durations = rng.integers(1, 4, size=(B, L)).astype(np.int32)
+    return dict(
+        phoneme_indices=jnp.asarray(rng.integers(1, VOCAB, size=(B, L))),
+        stress_indices=jnp.asarray(rng.integers(0, 3, size=(B, L))),
+        mel_specs=jnp.asarray(rng.normal(size=(B, T, M)).astype(np.float32)),
+        phoneme_durations=jnp.asarray(durations),
+        text_padding_mask=jnp.zeros((B, L), dtype=bool),
+        pitch_targets=jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32)),
+        energy_targets=jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32)),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    batch = make_batch()
+    params = model.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+    return model, params
+
+
+class TestForwardTraining:
+    def test_output_shapes(self, model_and_params):
+        model, params = model_and_params
+        batch = make_batch()
+        out = model.apply(params, **batch, deterministic=True)
+        B, T, M = batch["mel_specs"].shape
+        L = batch["phoneme_indices"].shape[1]
+        assert out["predicted_mel"].shape == (B, T, M)
+        assert out["predicted_log_durations"].shape == (B, L)
+        assert out["predicted_stop_logits"].shape == (B, T)
+        assert out["predicted_pitch"].shape == (B, T)
+        assert out["predicted_energy"].shape == (B, T)
+
+    def test_outputs_finite(self, model_and_params):
+        model, params = model_and_params
+        out = model.apply(params, **make_batch(), deterministic=True)
+        for k, v in out.items():
+            assert bool(jnp.isfinite(v).all()), k
+
+    def test_jit_and_deterministic(self, model_and_params):
+        model, params = model_and_params
+        batch = make_batch()
+        f = jax.jit(lambda p, b: model.apply(p, **b, deterministic=True))
+        o1 = f(params, batch)
+        o2 = f(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(o1["predicted_mel"]), np.asarray(o2["predicted_mel"])
+        )
+
+    def test_dropout_changes_output(self, model_and_params):
+        model, params = model_and_params
+        batch = make_batch()
+        rngs1 = {"dropout": jax.random.PRNGKey(1), "specaugment": jax.random.PRNGKey(2)}
+        rngs2 = {"dropout": jax.random.PRNGKey(3), "specaugment": jax.random.PRNGKey(4)}
+        o1 = model.apply(params, **batch, deterministic=False, rngs=rngs1)
+        o2 = model.apply(params, **batch, deterministic=False, rngs=rngs2)
+        assert not np.allclose(
+            np.asarray(o1["predicted_mel"]), np.asarray(o2["predicted_mel"])
+        )
+
+    def test_stop_head_gradient_isolated(self, model_and_params):
+        """Stop BCE must not propagate into the decoder (reference model.py:547-563)."""
+        model, params = model_and_params
+        batch = make_batch()
+
+        def stop_loss(p):
+            out = model.apply(p, **batch, deterministic=True)
+            return (out["predicted_stop_logits"] ** 2).sum()
+
+        grads = jax.grad(stop_loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        for path, g in flat:
+            name = jax.tree_util.keystr(path)
+            norm = float(jnp.abs(g).sum())
+            if "stop_token_predictor" in name:
+                assert norm > 0, f"stop head got no gradient: {name}"
+            else:
+                assert norm == 0, f"stop loss leaked into {name}"
+
+    def test_mel_grads_flow_to_decoder_not_encoder(self, model_and_params):
+        """With the reference's stop-gradient length regulation
+        (utils/lengths.py:30), mel loss reaches the decoder and the variance
+        embeddings but NOT the encoder self-attention."""
+        model, params = model_and_params
+        batch = make_batch()
+
+        def mel_loss(p):
+            out = model.apply(p, **batch, deterministic=True)
+            return (out["predicted_mel"] ** 2).sum()
+
+        grads = jax.grad(mel_loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        got = {jax.tree_util.keystr(p): float(jnp.abs(g).sum()) for p, g in flat}
+        assert any(v > 0 for k, v in got.items() if "decoder_layer_0" in k)
+        assert any(v > 0 for k, v in got.items() if "pitch_embedding" in k)
+        assert all(v == 0 for k, v in got.items() if "encoder_layer_0" in k)
+
+    def test_mel_grads_reach_encoder_when_lr_grad_enabled(self):
+        model = tiny_model(length_regulator_stop_gradient=False)
+        batch = make_batch()
+        params = model.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+
+        def mel_loss(p):
+            out = model.apply(p, **batch, deterministic=True)
+            return (out["predicted_mel"] ** 2).sum()
+
+        grads = jax.grad(mel_loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        got = {jax.tree_util.keystr(p): float(jnp.abs(g).sum()) for p, g in flat}
+        assert any(v > 0 for k, v in got.items() if "encoder_layer_0" in k)
+
+    def test_remat_matches_no_remat(self):
+        batch = make_batch()
+        m1 = tiny_model(gradient_checkpointing=False)
+        params = m1.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+        m2 = tiny_model(gradient_checkpointing=True)
+        o1 = m1.apply(params, **batch, deterministic=True)
+        o2 = m2.apply(params, **batch, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(o1["predicted_mel"]), np.asarray(o2["predicted_mel"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+class TestAttention:
+    def test_causality(self):
+        """Future positions must not influence earlier outputs."""
+        attn = MultiHeadAttention(d_model=16, num_heads=4, dropout=0.0, use_rope=True)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 6, 16)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x, causal=True)
+        out1, _ = attn.apply(params, x, causal=True)
+        x2 = x.at[0, 4, :].set(99.0)
+        out2, _ = attn.apply(params, x2, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out1[0, :4]), np.asarray(out2[0, :4]), rtol=1e-5, atol=1e-5
+        )
+        assert not np.allclose(np.asarray(out1[0, 4:]), np.asarray(out2[0, 4:]))
+
+    def test_key_padding_mask(self):
+        attn = MultiHeadAttention(d_model=16, num_heads=4, dropout=0.0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 5, 16)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x)
+        mask = jnp.array([[False, False, False, True, True]])
+        out1, _ = attn.apply(params, x, key_padding_mask=mask)
+        x2 = x.at[0, 3:, :].set(7.0)  # modify only masked keys
+        out2, _ = attn.apply(params, x2, key_padding_mask=mask)
+        # queries at masked positions change (their q changes), but valid
+        # queries attending over masked keys must not
+        np.testing.assert_allclose(
+            np.asarray(out1[0, :3]), np.asarray(out2[0, :3]), rtol=1e-5, atol=1e-5
+        )
+
+    def test_kv_cache_matches_full_forward(self):
+        """Step-by-step cached decode == full causal forward (reference
+        transformers.py:237-253 cache semantics)."""
+        attn = MultiHeadAttention(d_model=16, num_heads=4, dropout=0.0, use_rope=True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 5, 16)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x, causal=True)
+        full, _ = attn.apply(params, x, causal=True)
+
+        cache = {
+            "k": jnp.zeros((1, 4, 8, 4)),
+            "v": jnp.zeros((1, 4, 8, 4)),
+            "index": jnp.asarray(0, jnp.int32),
+        }
+        outs = []
+        for t in range(5):
+            o, cache = attn.apply(params, x[:, t : t + 1], kv_cache=cache)
+            outs.append(o)
+        stepped = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(stepped), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestGLUFeedForward:
+    def test_shapes_and_gating(self):
+        ff = GLUFeedForward(d_model=16, dim_feedforward=32, dropout=0.0)
+        x = jnp.ones((2, 5, 16))
+        params = ff.init(jax.random.PRNGKey(0), x)
+        out = ff.apply(params, x)
+        assert out.shape == (2, 5, 16)
+        k1 = params["params"]["linear1"]["kernel"]
+        assert k1.shape == (16, 64)  # 2x expansion for gate+linear split
