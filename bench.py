@@ -65,19 +65,14 @@ def main() -> None:
         "phoneme_lengths": jnp.full((B,), L, jnp.int32),
     }
 
+    from kokoro_tpu.training.train_step import init_params
+
     key = jax.random.PRNGKey(0)
-    params = model.init(
-        key,
-        phoneme_indices=batch["phoneme_indices"],
-        mel_specs=batch["mel_specs"],
-        phoneme_durations=batch["phoneme_durations"],
-        stress_indices=batch["stress_indices"],
-        pitch_targets=batch["pitch_targets"],
-        energy_targets=batch["energy_targets"],
-        deterministic=True,
-    )
+    params = init_params(model, key, batch)
     optimizer = build_optimizer(config, params, total_steps=20000)
-    state = create_train_state(model, config, optimizer, key, batch)
+    state = create_train_state(
+        model, config, optimizer, key, batch, params=params
+    )
     preclips = build_preclip_tree(params, config)
     train_step = jax.jit(
         make_train_step(model, config, optimizer, preclips, ema_decay=0.999),

@@ -1,0 +1,196 @@
+"""Frame-budget batching with static length buckets.
+
+The reference's ``DynamicFrameBatchSampler`` (reference data/dataset.py:924-1143)
+packs variable-shape batches under a mel-frame budget: sqrt(N) quantile length
+buckets (<= 16), greedy packing with ``cost = batch_size * max_frames``,
+min/max batch-size bounds, and **heavy-batch spreading** — the top-sqrt(N)
+costliest batches are placed at evenly spaced anchors so correlated gradient
+spikes cannot cluster (:1078-1126).  Batches are rebuilt (reshuffled) each
+epoch (:1129-1139).
+
+TPU-native recast (SURVEY.md §7 "hard parts"): XLA compiles one program per
+shape, so after packing, every batch is padded to a static
+``(batch_bucket, mel_bucket, phoneme_bucket)`` shape from the config's bucket
+tables.  The frame-budget cost model and spreading survive unchanged; only the
+final padded shape is quantized.  ``collate`` also builds the smoothed
+stop-token targets (reference dataset.py:32-65) at assembly time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kokoro_tpu.config import TrainingConfig
+
+
+def _bucket_up(value: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= value (last bucket caps)."""
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+class FrameBudgetBatcher:
+    """Greedy frame-budget packer with per-epoch shuffling and heavy-batch
+    spreading (reference dataset.py:924-1143)."""
+
+    def __init__(
+        self,
+        lengths: Sequence[Tuple[int, int]],   # (mel_frames, phonemes) per item
+        max_frames_per_batch: int = 15000,
+        min_batch_size: int = 4,
+        max_batch_size: int = 8,
+        seed: int = 42,
+        drop_incomplete: bool = False,
+    ):
+        self.lengths = list(lengths)
+        self.max_frames = max_frames_per_batch
+        self.min_batch = max(1, min_batch_size)
+        self.max_batch = max(self.min_batch, max_batch_size)
+        self.seed = seed
+        self.drop_incomplete = drop_incomplete
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[List[int]]:
+        return iter(self.build_batches(self.epoch))
+
+    def __len__(self) -> int:
+        return len(self.build_batches(self.epoch))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def build_batches(self, epoch: int = 0) -> List[List[int]]:
+        n = len(self.lengths)
+        if n == 0:
+            return []
+        rng = np.random.default_rng(self.seed + epoch)
+
+        # sqrt(N) quantile buckets over mel length (<= 16) keep batchmates
+        # similar-length, minimizing padding (reference :951-1010)
+        order = sorted(range(n), key=lambda i: self.lengths[i][0])
+        n_buckets = min(16, max(1, int(math.sqrt(n))))
+        bucket_size = math.ceil(n / n_buckets)
+        buckets = [
+            order[k : k + bucket_size] for k in range(0, n, bucket_size)
+        ]
+        for b in buckets:
+            rng.shuffle(b)
+
+        batches: List[List[int]] = []
+        for bucket in buckets:
+            current: List[int] = []
+            current_max = 0
+            for idx in bucket:
+                mel_len = self.lengths[idx][0]
+                new_max = max(current_max, mel_len)
+                cost = (len(current) + 1) * new_max
+                if current and (
+                    cost > self.max_frames or len(current) >= self.max_batch
+                ):
+                    batches.append(current)
+                    current, current_max = [], 0
+                    new_max = mel_len
+                current.append(idx)
+                current_max = new_max
+            if current and (
+                len(current) >= self.min_batch or not self.drop_incomplete
+            ):
+                batches.append(current)
+
+        return self._spread_heavy(batches, rng)
+
+    def _spread_heavy(
+        self, batches: List[List[int]], rng: np.random.Generator
+    ) -> List[List[int]]:
+        """Place the top-sqrt(B) costliest batches at evenly spaced anchors
+        (reference :1078-1126)."""
+        if len(batches) <= 2:
+            return batches
+        cost = lambda b: len(b) * max(self.lengths[i][0] for i in b)
+        by_cost = sorted(range(len(batches)), key=lambda k: -cost(batches[k]))
+        n_heavy = max(1, int(math.sqrt(len(batches))))
+        heavy = set(by_cost[:n_heavy])
+        light = [batches[k] for k in range(len(batches)) if k not in heavy]
+        rng.shuffle(light)
+        heavy_batches = [batches[k] for k in by_cost[:n_heavy]]
+        total = len(batches)
+        anchors = [int(a * total / n_heavy) for a in range(n_heavy)]
+        out: List[Optional[List[int]]] = [None] * total
+        for anchor, hb in zip(anchors, heavy_batches):
+            out[min(anchor, total - 1)] = hb
+        it = iter(light)
+        for k in range(total):
+            if out[k] is None:
+                out[k] = next(it)
+        return out  # type: ignore[return-value]
+
+
+class FixedSizeBatcher(FrameBudgetBatcher):
+    """Fixed-size batching (reference ``LengthBasedBatchSampler``, :1145):
+    delegates to the frame packer with an unbounded budget."""
+
+    def __init__(self, lengths, batch_size: int, seed: int = 42):
+        super().__init__(
+            lengths,
+            max_frames_per_batch=2**31,
+            min_batch_size=batch_size,
+            max_batch_size=batch_size,
+            seed=seed,
+        )
+
+
+def collate(
+    features: List[Dict],
+    config: TrainingConfig,
+    pad_batch_to: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Pad a list of per-utterance feature dicts to static bucket shapes.
+
+    Returns the jitted-train-step batch dict.  Mel/phoneme dims round up to
+    the config bucket tables; the batch dim optionally rounds up to
+    ``pad_batch_to`` (padding rows have zero lengths, fully masked out by the
+    loss — same masking semantics as the reference's collate_fn zero padding,
+    reference dataset.py:871-922).
+    """
+    B = len(features)
+    out_B = max(B, pad_batch_to or B)
+    mel_max = max(int(f["mel_length"]) for f in features)
+    phon_max = max(int(f["phoneme_length"]) for f in features)
+    T = _bucket_up(mel_max, config.mel_bucket_sizes)
+    L = _bucket_up(phon_max, config.phoneme_bucket_sizes)
+    M = config.n_mels
+
+    batch = {
+        "mel_specs": np.zeros((out_B, T, M), np.float32),
+        "phoneme_indices": np.zeros((out_B, L), np.int32),
+        "stress_indices": np.zeros((out_B, L), np.int32),
+        "phoneme_durations": np.zeros((out_B, L), np.int32),
+        "pitch_targets": np.zeros((out_B, T), np.float32),
+        "energy_targets": np.zeros((out_B, T), np.float32),
+        "stop_token_targets": np.zeros((out_B, T), np.float32),
+        "mel_lengths": np.zeros((out_B,), np.int32),
+        "phoneme_lengths": np.zeros((out_B,), np.int32),
+    }
+    tail = config.stop_token_smooth_tail
+    decay = config.stop_token_smooth_decay
+    for i, f in enumerate(features):
+        t = min(int(f["mel_length"]), T)
+        l = min(int(f["phoneme_length"]), L)
+        batch["mel_specs"][i, :t] = f["mel_spec"][:t]
+        batch["phoneme_indices"][i, :l] = f["phoneme_indices"][:l]
+        batch["stress_indices"][i, :l] = f["stress_indices"][:l]
+        batch["phoneme_durations"][i, :l] = f["phoneme_durations"][:l]
+        batch["pitch_targets"][i, :t] = f["pitch"][:t]
+        batch["energy_targets"][i, :t] = f["energy"][:t]
+        batch["mel_lengths"][i] = t
+        batch["phoneme_lengths"][i] = l
+        # smoothed stop tail: frame[t-1-k] = decay^k (reference dataset.py:32-65)
+        n_tail = min(tail + 1, t)
+        ks = np.arange(n_tail, dtype=np.float32)
+        batch["stop_token_targets"][i, t - n_tail : t] = (decay**ks)[::-1]
+    return batch

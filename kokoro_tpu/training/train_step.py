@@ -55,34 +55,56 @@ class TrainState:
     skipped_steps: jnp.ndarray     # non-finite-grad skips
 
 
+def init_params(
+    model: KokoroModel, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]
+):
+    """Initialize model params under jit.
+
+    Eager ``model.init`` dispatches thousands of individual ops to the device
+    (minutes over a remote-TPU tunnel); one jitted trace makes it a single
+    executable.
+    """
+
+    def _init(rng):
+        return model.init(
+            rng,
+            phoneme_indices=example_batch["phoneme_indices"],
+            mel_specs=example_batch["mel_specs"],
+            phoneme_durations=example_batch["phoneme_durations"],
+            stress_indices=example_batch.get("stress_indices"),
+            text_padding_mask=example_batch.get("text_padding_mask"),
+            pitch_targets=example_batch.get("pitch_targets"),
+            energy_targets=example_batch.get("energy_targets"),
+            deterministic=True,
+        )
+
+    return jax.jit(_init)(rng)
+
+
 def create_train_state(
     model: KokoroModel,
     config: TrainingConfig,
     optimizer: optax.GradientTransformation,
     rng: jax.Array,
     example_batch: Dict[str, jnp.ndarray],
+    params=None,
 ) -> TrainState:
-    params = model.init(
-        rng,
-        phoneme_indices=example_batch["phoneme_indices"],
-        mel_specs=example_batch["mel_specs"],
-        phoneme_durations=example_batch["phoneme_durations"],
-        stress_indices=example_batch.get("stress_indices"),
-        text_padding_mask=example_batch.get("text_padding_mask"),
-        pitch_targets=example_batch.get("pitch_targets"),
-        energy_targets=example_batch.get("energy_targets"),
-        deterministic=True,
-    )
-    return TrainState(
-        params=params,
-        opt_state=optimizer.init(params),
-        opt_step=jnp.zeros((), jnp.int32),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
-        ema_updates=jnp.zeros((), jnp.int32),
-        grad_ema=jnp.zeros((), jnp.float32),
-        grad_ema_steps=jnp.zeros((), jnp.int32),
-        skipped_steps=jnp.zeros((), jnp.int32),
-    )
+    if params is None:
+        params = init_params(model, rng, example_batch)
+
+    def _make_state(params):
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            opt_step=jnp.zeros((), jnp.int32),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            ema_updates=jnp.zeros((), jnp.int32),
+            grad_ema=jnp.zeros((), jnp.float32),
+            grad_ema_steps=jnp.zeros((), jnp.int32),
+            skipped_steps=jnp.zeros((), jnp.int32),
+        )
+
+    return jax.jit(_make_state)(params)
 
 
 def _batch_masks(batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,456 @@
+"""The training runtime: host loop around the jitted train step.
+
+Reproduces the reference ``KokoroTrainer`` semantics (reference
+training/trainer.py, SURVEY.md §2.2/§3.1):
+
+* setup chain: datasets + 90/10 split (seed 42, :289), frame-budget batcher,
+  model, 10-group optimizer, warmup+OneCycle schedules, EMA decay derived from
+  half-life epochs (:801-842), checkpoint manager,
+* epoch loop with per-batch training, per-``validation_interval`` validation
+  on the EMA weights computing spectral convergence and F0 RMSE (:1771-1910),
+* best-on-improvement + periodic checkpointing (:2944-3004), early stopping
+  with patience/min-delta (:2942-2967),
+* TensorBoard logging with the reference's tag namespace (loss/*, stats/*,
+  metrics/*), cache-stats reports (:2750-2821).
+
+TPU-native design: the hot loop is ONE jitted call per step (forward + loss +
+backward + clips + AdamW + EMA fused by XLA); the host only assembles numpy
+batches and logs.  All stability machinery (pre-clips, explosion detector,
+non-finite skip, adaptive stabilization) lives inside the step
+(train_step.py), not here.  Gradient accumulation stacks consecutive
+same-bucket batches into an (A, B, ...) microbatch axis.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from kokoro_tpu.config import TrainingConfig
+from kokoro_tpu.data.batching import FixedSizeBatcher, FrameBudgetBatcher, collate
+from kokoro_tpu.data.dataset import RuslanDataset, train_val_split
+from kokoro_tpu.data.mfa import MFAIntegration
+from kokoro_tpu.data.phonemes import RussianPhonemeProcessor
+from kokoro_tpu.models.kokoro import KokoroModel
+from kokoro_tpu.training.checkpoint import CheckpointManager, build_model_metadata
+from kokoro_tpu.training.optimizer import (
+    build_optimizer,
+    build_preclip_tree,
+    recommended_ema_decay,
+)
+from kokoro_tpu.training.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class _JsonlWriter:
+    """Fallback metric writer when tensorboard is unavailable."""
+
+    def __init__(self, logdir: Path):
+        logdir.mkdir(parents=True, exist_ok=True)
+        self._f = open(logdir / "metrics.jsonl", "a")
+
+    def add_scalar(self, tag, value, step):
+        import json
+
+        self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+
+    def add_histogram(self, *a, **k):
+        pass
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def _make_writer(logdir: Path):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(str(logdir))
+    except Exception:
+        return _JsonlWriter(logdir)
+
+
+class KokoroTrainer:
+    def __init__(self, config: TrainingConfig):
+        self.config = config
+        self.output_dir = Path(config.output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = _make_writer(self.output_dir / "logs")
+        self.ckpt = CheckpointManager(self.output_dir, keep=config.keep_checkpoints)
+
+        self.phoneme_processor = RussianPhonemeProcessor()
+        self._setup_datasets()
+        self._setup_model()
+        self._setup_step_fns()
+
+        self.best_val_loss = float("inf")
+        self.best_val_epoch = -1
+        self.epochs_without_improvement = 0
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------------
+    def _setup_datasets(self) -> None:
+        cfg = self.config
+        mfa = None
+        if cfg.use_mfa:
+            mfa = MFAIntegration(
+                alignment_dir=cfg.mfa_alignment_dir,
+                acoustic_model=cfg.mfa_acoustic_model,
+                dictionary=cfg.mfa_dictionary,
+                hop_length=cfg.hop_length,
+                sample_rate=cfg.sample_rate,
+            )
+            if not Path(cfg.mfa_alignment_dir).exists():
+                logger.warning(
+                    "MFA alignment dir %s missing; falling back to estimated "
+                    "durations", cfg.mfa_alignment_dir,
+                )
+                mfa = None
+        full = RuslanDataset(
+            cfg.data_dir, cfg, self.phoneme_processor, mfa=mfa, is_training=True
+        )
+        train_idx, val_idx = train_val_split(
+            len(full), cfg.validation_split, seed=cfg.seed
+        )
+        self.train_dataset = RuslanDataset(
+            cfg.data_dir, cfg, self.phoneme_processor, mfa=mfa,
+            indices=train_idx, is_training=True,
+        )
+        self.val_dataset = RuslanDataset(
+            cfg.data_dir, cfg, self.phoneme_processor, mfa=mfa,
+            indices=val_idx, is_training=False,
+        )
+        lengths = [self.train_dataset.lengths(i) for i in range(len(self.train_dataset))]
+        if cfg.use_dynamic_batching:
+            self.batcher = FrameBudgetBatcher(
+                lengths,
+                max_frames_per_batch=cfg.max_frames_per_batch,
+                min_batch_size=cfg.min_batch_size,
+                max_batch_size=cfg.max_batch_size,
+                seed=cfg.seed,
+            )
+        else:
+            self.batcher = FixedSizeBatcher(lengths, cfg.batch_size, seed=cfg.seed)
+        val_lengths = [self.val_dataset.lengths(i) for i in range(len(self.val_dataset))]
+        self.val_batcher = FixedSizeBatcher(val_lengths, cfg.batch_size, seed=cfg.seed)
+        logger.info(
+            "Datasets: %d train / %d val utterances",
+            len(self.train_dataset), len(self.val_dataset),
+        )
+
+    def _setup_model(self) -> None:
+        cfg = self.config
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+        self.model = KokoroModel(
+            vocab_size=self.phoneme_processor.get_vocab_size(),
+            n_mels=cfg.n_mels,
+            hidden_dim=cfg.hidden_dim,
+            n_encoder_layers=cfg.n_encoder_layers,
+            n_decoder_layers=cfg.n_decoder_layers,
+            n_heads=cfg.n_heads,
+            encoder_ff_dim=cfg.encoder_ff_dim,
+            decoder_ff_dim=cfg.decoder_ff_dim,
+            encoder_dropout=cfg.encoder_dropout,
+            decoder_dropout=cfg.decoder_dropout,
+            decoder_input_dropout=cfg.decoder_input_dropout,
+            max_decoder_seq_len=cfg.max_decoder_seq_len,
+            qk_norm=cfg.qk_norm,
+            use_stochastic_depth=cfg.use_stochastic_depth,
+            stochastic_depth_rate=cfg.stochastic_depth_rate,
+            ffn_output_norm=cfg.ffn_output_norm,
+            use_stress_embedding=cfg.use_stress_embedding,
+            variance_filter_size=cfg.variance_filter_size,
+            variance_kernel_size=cfg.variance_kernel_size,
+            variance_dropout=cfg.variance_dropout,
+            n_variance_bins=cfg.n_variance_bins,
+            length_regulator_stop_gradient=cfg.length_regulator_stop_gradient,
+            gradient_checkpointing=cfg.gradient_checkpointing,
+            use_spec_augment=cfg.use_spec_augment,
+            spec_augment_time_mask_max=cfg.spec_augment_time_mask_max,
+            spec_augment_freq_mask_max=cfg.spec_augment_freq_mask_max,
+            spec_augment_num_time_masks=cfg.spec_augment_num_time_masks,
+            spec_augment_num_freq_masks=cfg.spec_augment_num_freq_masks,
+            dtype=dtype,
+        )
+
+    def _setup_step_fns(self) -> None:
+        cfg = self.config
+        batches_per_epoch = max(1, len(self.batcher.build_batches(0)))
+        steps_per_epoch = max(
+            1, -(-batches_per_epoch // cfg.gradient_accumulation_steps)
+        )
+        self.total_steps = cfg.num_epochs * steps_per_epoch
+        # EMA decay from half-life (reference trainer.py:801-842, utils/ema.py)
+        self.ema_decay = (
+            cfg.ema_decay
+            if cfg.ema_decay is not None
+            else recommended_ema_decay(steps_per_epoch, cfg.ema_half_life_epochs)
+        )
+        logger.info(
+            "Schedule: %d opt-steps/epoch, %d total; EMA decay %.6f",
+            steps_per_epoch, self.total_steps, self.ema_decay,
+        )
+
+        example = self._example_batch()
+        rng = jax.random.PRNGKey(cfg.seed)
+        from kokoro_tpu.training.train_step import init_params
+
+        params = init_params(self.model, rng, example)
+        self.optimizer = build_optimizer(cfg, params, self.total_steps)
+        self.state = create_train_state(
+            self.model, cfg, self.optimizer, rng, example, params=params
+        )
+        preclips = build_preclip_tree(params, cfg)
+        self.train_step = jax.jit(
+            make_train_step(
+                self.model, cfg, self.optimizer, preclips, self.ema_decay
+            ),
+            donate_argnums=(0,) if cfg.donate_state else (),
+        )
+        self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self.metadata = build_model_metadata(
+            cfg, self.phoneme_processor.get_vocab_size()
+        )
+
+    def _example_batch(self) -> Dict[str, np.ndarray]:
+        feats = [
+            self.train_dataset.get_features(0, np.random.default_rng(0))
+        ]
+        return collate(feats, self.config)
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        self.ckpt.save_phoneme_processor(self.phoneme_processor)
+        self._maybe_resume()
+
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            t0 = time.time()
+            train_metrics = self.train_epoch(epoch)
+            epoch_time = time.time() - t0
+            step = int(self.state.opt_step)
+            self.writer.add_scalar("loss/train_total_epoch", train_metrics["total"], step)
+            self.writer.add_scalar("loss/train_mel_epoch", train_metrics["mel"], step)
+            logger.info(
+                "Epoch %d: train total %.4f (mel %.4f) in %.1fs, %d steps",
+                epoch + 1, train_metrics["total"], train_metrics["mel"],
+                epoch_time, step,
+            )
+
+            if (epoch + 1) % cfg.validation_interval == 0 and len(self.val_dataset):
+                val_metrics = self.validate_epoch(epoch)
+                val_loss = val_metrics["mel"]
+                improved = val_loss < self.best_val_loss - cfg.early_stopping_min_delta
+                if improved:
+                    self.best_val_loss = val_loss
+                    self.best_val_epoch = epoch
+                    self.epochs_without_improvement = 0
+                    self.ckpt.save_best(
+                        self.state, cfg, self.metadata, self._counters(epoch)
+                    )
+                    logger.info("New best val mel loss: %.4f", val_loss)
+                else:
+                    self.epochs_without_improvement += 1
+                if self.epochs_without_improvement >= cfg.early_stopping_patience:
+                    logger.info(
+                        "Early stopping at epoch %d (no improvement for %d)",
+                        epoch + 1, cfg.early_stopping_patience,
+                    )
+                    break
+
+            if (epoch + 1) % cfg.save_every == 0:
+                self.ckpt.save_epoch_checkpoint(
+                    epoch + 1, self.state, cfg, self.metadata, self._counters(epoch)
+                )
+            self._report_cache_stats()
+
+        self.ckpt.save_final_model(
+            self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
+        )
+        self.writer.flush()
+        return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.config
+        batches = self.batcher.build_batches(epoch)
+        rng = np.random.default_rng(cfg.seed + epoch)
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
+        accum = max(1, cfg.gradient_accumulation_steps)
+        sums: Dict[str, float] = {}
+        n_steps = 0
+        interbatch_t0 = time.time()
+
+        group: List[List[int]] = []
+        for b_idx, batch_indices in enumerate(batches):
+            group.append(batch_indices)
+            is_last = b_idx == len(batches) - 1
+            if len(group) < accum and not is_last:
+                continue
+
+            batch = self._assemble(group, rng)
+            group = []
+            step_rng, sub = jax.random.split(step_rng)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            n_steps += 1
+
+            step = int(self.state.opt_step)
+            if step % cfg.log_every_steps == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                    self.writer.add_scalar(f"loss/{k}", host[k], step)
+                self.writer.add_scalar("stats/grad_norm", host["grad_norm"], step)
+                self.writer.add_scalar(
+                    "stats/grad_norm_clipped", host["grad_norm_clipped"], step
+                )
+                self._log_lrs(step)
+                if host["stepped"] == 0.0:
+                    logger.warning(
+                        "Step skipped (non-finite gradients) at opt step %d", step
+                    )
+            for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                sums[k] = sums.get(k, 0.0) + float(metrics[k])
+
+        elapsed = time.time() - interbatch_t0
+        if cfg.enable_interbatch_profiling:
+            logger.info(
+                "Epoch %d: %d optimizer steps in %.1fs (%.2f steps/s)",
+                epoch + 1, n_steps, elapsed, n_steps / max(elapsed, 1e-9),
+            )
+        return {k: v / max(n_steps, 1) for k, v in sums.items()}
+
+    def _assemble(
+        self, group: List[List[int]], rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        """Collate a group of index-batches into one (A, B, ...) or (B, ...)
+        batch dict with shared static bucket shapes."""
+        all_feats = [
+            [self.train_dataset.get_features(i, rng) for i in indices]
+            for indices in group
+        ]
+        if len(all_feats) == 1:
+            return collate(all_feats[0], self.config)
+        max_b = max(len(f) for f in all_feats)
+        collated = [
+            collate(f, self.config, pad_batch_to=max_b) for f in all_feats
+        ]
+        # unify mel/phoneme buckets across the group
+        T = max(c["mel_specs"].shape[1] for c in collated)
+        L = max(c["phoneme_indices"].shape[1] for c in collated)
+
+        def grow(c):
+            out = {}
+            for k, v in c.items():
+                if k in ("mel_specs", "pitch_targets", "energy_targets",
+                         "stop_token_targets"):
+                    pad = T - v.shape[1]
+                    out[k] = np.pad(v, ((0, 0), (0, pad)) + ((0, 0),) * (v.ndim - 2))
+                elif k in ("phoneme_indices", "stress_indices", "phoneme_durations"):
+                    out[k] = np.pad(v, ((0, 0), (0, L - v.shape[1])))
+                else:
+                    out[k] = v
+            return out
+
+        collated = [grow(c) for c in collated]
+        return {
+            k: np.stack([c[k] for c in collated]) for k in collated[0]
+        }
+
+    def _log_lrs(self, step: int) -> None:
+        from kokoro_tpu.training.optimizer import make_group_schedule
+
+        for label, tag in (
+            ("encoder", "stats/lr_encoder"),
+            ("decoder_other", "stats/lr_decoder"),
+            ("decoder_ffn", "stats/lr_decoder_ffn"),
+            ("decoder_attn", "stats/lr_decoder_attn"),
+            ("stop_head", "stats/lr_stop_head"),
+            ("variance_embed", "stats/lr_variance_embed"),
+        ):
+            sched = make_group_schedule(self.config, self.total_steps, label)
+            self.writer.add_scalar(tag, float(sched(step)), step)
+
+    # ------------------------------------------------------------------
+    def validate_epoch(self, epoch: int) -> Dict[str, float]:
+        """Validation on EMA weights (reference trainer.py:1771-1910)."""
+        cfg = self.config
+        rng = np.random.default_rng(0)
+        sums: Dict[str, float] = {}
+        n = 0
+        for indices in self.val_batcher.build_batches(0):
+            feats = [self.val_dataset.get_features(i, rng) for i in indices]
+            batch = collate(feats, cfg)
+            metrics = self.eval_step(self.state.ema_params, batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        avg = {k: v / max(n, 1) for k, v in sums.items()}
+        step = int(self.state.opt_step)
+        for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+            self.writer.add_scalar(f"loss/val_{k}", avg.get(k, 0.0), step)
+        self.writer.add_scalar(
+            "metrics/val_spectral_convergence", avg.get("spectral_convergence", 0.0), step
+        )
+        self.writer.add_scalar("metrics/val_f0_rmse", avg.get("f0_rmse", 0.0), step)
+        logger.info(
+            "Validation epoch %d: mel %.4f, spectral_conv %.4f, f0_rmse %.4f",
+            epoch + 1, avg.get("mel", 0.0),
+            avg.get("spectral_convergence", 0.0), avg.get("f0_rmse", 0.0),
+        )
+        return avg
+
+    # ------------------------------------------------------------------
+    def _counters(self, epoch: int) -> Dict:
+        return {
+            "epoch": epoch,
+            "optimizer_step": int(self.state.opt_step),
+            "ema_updates": int(self.state.ema_updates),
+            "skipped_steps": int(self.state.skipped_steps),
+            "best_val_loss": self.best_val_loss,
+            "best_val_epoch": self.best_val_epoch,
+        }
+
+    def _maybe_resume(self) -> None:
+        result = self.ckpt.resume_from_checkpoint(
+            self.config.resume_checkpoint, self.state, self.metadata
+        )
+        if result is None:
+            return
+        self.state, doc = result
+        counters = doc.get("counters", {})
+        self.start_epoch = int(counters.get("epoch", -1)) + 1
+        self.best_val_loss = float(counters.get("best_val_loss", float("inf")))
+        self.best_val_epoch = int(counters.get("best_val_epoch", -1))
+        logger.info(
+            "Resumed at epoch %d (opt step %d, best val %.4f)",
+            self.start_epoch, int(self.state.opt_step), self.best_val_loss,
+        )
+
+    def _report_cache_stats(self) -> None:
+        stats = self.train_dataset.cache_stats()
+        if stats["requests"]:
+            logger.info(
+                "Feature cache: %.1f%% hit rate (%d requests, %d memory entries)",
+                stats["hit_rate"] * 100, stats["requests"], stats["memory_entries"],
+            )
+
+
+def train_model(config: TrainingConfig) -> Dict[str, float]:
+    """Entry point (reference trainer.py:3601)."""
+    return KokoroTrainer(config).train()

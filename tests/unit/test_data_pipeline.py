@@ -1,0 +1,333 @@
+"""Data pipeline tests: text utils, batching/bucketing, dataset with a
+synthetic corpus, MFA DP aligner (mirrors reference coverage of
+test_sil_token_support / test_dynamic_frame_batch_sampler / MFA tests)."""
+
+import numpy as np
+import pytest
+
+from kokoro_tpu.config import get_smoke_test_config
+from kokoro_tpu.data import text_utils
+from kokoro_tpu.data.batching import FixedSizeBatcher, FrameBudgetBatcher, collate
+from kokoro_tpu.data.dataset import (
+    RuslanDataset,
+    build_fallback_durations,
+    train_val_split,
+)
+from kokoro_tpu.data.mfa import (
+    align_durations,
+    normalize_mfa_phone,
+    parse_textgrid,
+)
+from kokoro_tpu.data.phonemes import RussianPhonemeProcessor, StressInfo
+
+
+class TestTextUtils:
+    def _raw(self):
+        return [
+            ("привет", ["p", "rʲ", "ɪ", "vʲ", "e", "t"], StressInfo(1, 4, False), "<comma>"),
+            ("мир", ["mʲ", "i", "r"], StressInfo(0, 1, False), None),
+        ]
+
+    def test_flatten_with_sil(self):
+        proc = RussianPhonemeProcessor()
+        seq = text_utils.flatten_with_sil(self._raw(), proc.phoneme_to_id)
+        assert seq == [
+            "p", "rʲ", "ɪ", "vʲ", "e", "t", "<comma>", "<sil>", "mʲ", "i", "r",
+        ]
+
+    def test_stress_parallel(self):
+        proc = RussianPhonemeProcessor()
+        seq = text_utils.flatten_with_sil(self._raw(), proc.phoneme_to_id)
+        stress = text_utils.stress_indices_with_sil(self._raw(), proc.phoneme_to_id)
+        assert len(stress) == len(seq)
+        # stressed vowel of 'привет' is 'e' (2nd vowel); of 'мир' is 'i' (1st)
+        assert stress[seq.index("e")] == 1
+        assert stress[seq.index("i")] == 1
+        assert sum(stress) == 2
+
+    def test_phonemes_to_indices_unk(self):
+        proc = RussianPhonemeProcessor()
+        idx = text_utils.phonemes_to_indices(["p", "NOT_A_PHONE"], proc.phoneme_to_id)
+        assert idx[0] == proc.phoneme_to_id["p"]
+        assert idx[1] == proc.phoneme_to_id["<sil>"]  # unk fallback
+
+
+class TestFallbackDurations:
+    def test_exact_sum(self):
+        d = build_fallback_durations(7, 100)
+        assert d.sum() == 100 and len(d) == 7
+
+    def test_short_utterance(self):
+        d = build_fallback_durations(10, 4)
+        assert d.sum() == 4 and (d >= 0).all()
+
+    def test_empty(self):
+        assert build_fallback_durations(0, 50).shape == (0,)
+
+
+class TestTrainValSplit:
+    def test_deterministic_and_disjoint(self):
+        t1, v1 = train_val_split(100, 0.1, seed=42)
+        t2, v2 = train_val_split(100, 0.1, seed=42)
+        assert t1 == t2 and v1 == v2
+        assert len(v1) == 10 and not set(t1) & set(v1)
+
+
+class TestFrameBudgetBatcher:
+    def _lengths(self, n=100, seed=0):
+        rng = np.random.default_rng(seed)
+        return [(int(l), int(l) // 8) for l in rng.integers(100, 1500, n)]
+
+    def test_budget_respected(self):
+        lengths = self._lengths()
+        b = FrameBudgetBatcher(lengths, max_frames_per_batch=4000, max_batch_size=8)
+        for batch in b.build_batches(0):
+            cost = len(batch) * max(lengths[i][0] for i in batch)
+            assert cost <= 4000 or len(batch) == 1
+            assert len(batch) <= 8
+
+    def test_all_items_covered_once(self):
+        lengths = self._lengths(57)
+        b = FrameBudgetBatcher(lengths, max_frames_per_batch=5000)
+        seen = [i for batch in b.build_batches(3) for i in batch]
+        assert sorted(seen) == list(range(57))
+
+    def test_epochs_differ(self):
+        lengths = self._lengths()
+        b = FrameBudgetBatcher(lengths, max_frames_per_batch=5000)
+        assert b.build_batches(0) != b.build_batches(1)
+
+    def test_heavy_batches_spread(self):
+        """Costliest batches must not cluster at the front (reference
+        dataset.py:1078-1126)."""
+        lengths = self._lengths(200)
+        b = FrameBudgetBatcher(lengths, max_frames_per_batch=4000)
+        batches = b.build_batches(0)
+        costs = [len(bb) * max(lengths[i][0] for i in bb) for bb in batches]
+        n_heavy = max(1, int(np.sqrt(len(batches))))
+        heavy_thresh = sorted(costs, reverse=True)[n_heavy - 1]
+        heavy_pos = [k for k, c in enumerate(costs) if c >= heavy_thresh][:n_heavy]
+        # spread: max gap between heavy anchors is bounded
+        gaps = np.diff([0] + sorted(heavy_pos) + [len(batches)])
+        assert gaps.max() <= 2 * len(batches) / n_heavy + 2
+
+    def test_fixed_size(self):
+        """Fixed-size wrapper: never exceeds batch_size, covers every item
+        (bucket tails may be short, matching the reference's delegation to the
+        frame packer, reference dataset.py:1145)."""
+        lengths = self._lengths(40)
+        b = FixedSizeBatcher(lengths, batch_size=8)
+        batches = b.build_batches(0)
+        assert all(len(x) <= 8 for x in batches)
+        assert sum(len(x) for x in batches) == 40
+
+
+class TestCollate:
+    def _feature(self, t, l, seed=0):
+        rng = np.random.default_rng(seed)
+        return {
+            "mel_spec": rng.normal(size=(t, 80)).astype(np.float32),
+            "phoneme_indices": rng.integers(1, 50, l).astype(np.int32),
+            "stress_indices": rng.integers(0, 2, l).astype(np.int32),
+            "phoneme_durations": np.full(l, t // l, np.int32),
+            "pitch": rng.uniform(size=t).astype(np.float32),
+            "energy": rng.uniform(size=t).astype(np.float32),
+            "mel_length": np.int32(t),
+            "phoneme_length": np.int32(l),
+        }
+
+    def test_bucket_shapes(self):
+        cfg = get_smoke_test_config()  # mel buckets (64, 128), phoneme (16, 32)
+        batch = collate([self._feature(50, 10), self._feature(70, 14)], cfg)
+        assert batch["mel_specs"].shape == (2, 128, 80)
+        assert batch["phoneme_indices"].shape == (2, 16)
+        assert batch["mel_lengths"].tolist() == [50, 70]
+
+    def test_same_bucket_reused(self):
+        """Different raw lengths in the same bucket produce identical shapes
+        (one XLA compilation)."""
+        cfg = get_smoke_test_config()
+        b1 = collate([self._feature(33, 9)], cfg)
+        b2 = collate([self._feature(61, 12)], cfg)
+        assert b1["mel_specs"].shape == b2["mel_specs"].shape
+
+    def test_stop_targets_smoothed(self):
+        cfg = get_smoke_test_config(stop_token_smooth_tail=2, stop_token_smooth_decay=0.5)
+        batch = collate([self._feature(10, 5)], cfg)
+        st = batch["stop_token_targets"][0]
+        np.testing.assert_allclose(st[7:10], [0.25, 0.5, 1.0])
+        assert st[10:].sum() == 0
+
+    def test_batch_padding_rows_masked(self):
+        cfg = get_smoke_test_config()
+        batch = collate([self._feature(50, 10)], cfg, pad_batch_to=4)
+        assert batch["mel_specs"].shape[0] == 4
+        assert batch["mel_lengths"].tolist() == [50, 0, 0, 0]
+
+
+class TestMFAAligner:
+    def test_perfect_match(self):
+        mfa = [("p", 5), ("a", 10), ("t", 3)]
+        assert align_durations(mfa, ["p", "a", "t"]) == [5, 10, 3]
+
+    def test_sil_insertion_cheap(self):
+        mfa = [("p", 5), ("a", 10)]
+        out = align_durations(mfa, ["p", "<sil>", "a"])
+        assert out == [5, 0, 10]
+
+    def test_prosody_token_free(self):
+        mfa = [("p", 5)]
+        assert align_durations(mfa, ["p", "<period>"]) == [5, 0]
+
+    def test_skipped_mfa_pools_frames(self):
+        """Dropped MFA phones pool into the NEXT matched phone."""
+        mfa = [("x", 4), ("p", 5), ("a", 10)]
+        out = align_durations(mfa, ["p", "a"])
+        assert out == [9, 10]
+        assert sum(out) == 19
+
+    def test_trailing_pool_flushes_to_last(self):
+        mfa = [("p", 5), ("x", 7)]
+        out = align_durations(mfa, ["p"])
+        assert out == [12]
+
+    def test_iotation_merge(self):
+        mfa = [("j", 2), ("a", 8), ("t", 3)]
+        assert align_durations(mfa, ["ja", "t"]) == [10, 3]
+
+    def test_geminate_split(self):
+        mfa = [("nʲː", 9), ("a", 5)]
+        out = align_durations(mfa, ["nʲ", "nʲ", "a"])
+        assert out == [4, 5, 5]
+
+    def test_spn_expansion(self):
+        mfa = [("spn", 12), ("t", 3)]
+        out = align_durations(mfa, ["a", "b", "c", "t"])
+        assert out == [4, 4, 4, 3]
+
+    def test_length_always_matches(self):
+        mfa = [("a", 3), ("spn", 10), ("tʃ", 4)]
+        phones = ["x", "y", "z", "w", "tʃ", "<period>"]
+        out = align_durations(mfa, phones)
+        assert len(out) == len(phones)
+
+    def test_empty_inputs(self):
+        assert align_durations([], ["a", "b"]) == [0, 0]
+        assert align_durations([("a", 3)], []) == []
+
+    def test_phone_normalization(self):
+        assert normalize_mfa_phone("ɫ") == "l"
+        assert normalize_mfa_phone("ʎ") == "lʲ"
+        assert normalize_mfa_phone("t̪s̪") == "ts"
+        assert normalize_mfa_phone("ɡ") == "g"
+        assert normalize_mfa_phone("tɕ") == "tʃ"
+        assert normalize_mfa_phone("nʲː") == "nʲː"  # length mark preserved
+        assert normalize_mfa_phone("q") == "q"  # unknown passes through
+
+
+class TestParseTextGrid(object):
+    def test_parse_minimal(self, tmp_path):
+        tg = tmp_path / "x.TextGrid"
+        tg.write_text(
+            'File type = "ooTextFile"\n'
+            'Object class = "TextGrid"\n'
+            "xmin = 0\nxmax = 1.0\ntiers? <exists>\nsize = 2\n"
+            "item []:\n"
+            "    item [1]:\n"
+            '        class = "IntervalTier"\n'
+            '        name = "words"\n'
+            "        xmin = 0\nxmax = 1.0\nintervals: size = 1\n"
+            "        intervals [1]:\n"
+            "            xmin = 0.1\n            xmax = 0.9\n"
+            '            text = "привет"\n'
+            "    item [2]:\n"
+            '        class = "IntervalTier"\n'
+            '        name = "phones"\n'
+            "        xmin = 0\nxmax = 1.0\nintervals: size = 3\n"
+            "        intervals [1]:\n"
+            "            xmin = 0.0\n            xmax = 0.1\n"
+            '            text = ""\n'
+            "        intervals [2]:\n"
+            "            xmin = 0.1\n            xmax = 0.5\n"
+            '            text = "p"\n'
+            "        intervals [3]:\n"
+            "            xmin = 0.5\n            xmax = 0.9\n"
+            '            text = "a"\n',
+            encoding="utf-8",
+        )
+        phones, words = parse_textgrid(tg)
+        assert [p.phoneme for p in phones] == ["<sil>", "p", "a"]
+        assert words == [(0.1, 0.9)]
+        # 0.4 s at 22050/256 -> 34 frames
+        assert phones[1].duration_frames == int(0.4 * 22050 / 256)
+
+
+@pytest.fixture(scope="module")
+def synth_corpus(tmp_path_factory):
+    """Tiny synthetic corpus: 4 wavs + metadata CSV."""
+    from kokoro_tpu.data.audio_io import save_wav
+
+    root = tmp_path_factory.mktemp("corpus")
+    wavs = root / "wavs"
+    wavs.mkdir()
+    rng = np.random.default_rng(0)
+    texts = ["привет мир", "как дела", "хорошо сегодня", "до свидания"]
+    lines = []
+    for i, text in enumerate(texts):
+        seconds = 0.4 + 0.2 * i
+        t = np.arange(int(22050 * seconds)) / 22050
+        audio = 0.4 * np.sin(2 * np.pi * (150 + 40 * i) * t).astype(np.float32)
+        audio += 0.05 * rng.normal(size=len(t)).astype(np.float32)
+        save_wav(wavs / f"utt{i}.wav", audio, 22050)
+        lines.append(f"utt{i}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+    return root
+
+
+class TestRuslanDataset:
+    def test_load_and_features(self, synth_corpus):
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        assert len(ds) == 4
+        f = ds.get_features(0, np.random.default_rng(0))
+        assert f["mel_spec"].shape[1] == cfg.n_mels
+        assert f["mel_spec"].shape[0] == int(f["mel_length"])
+        assert f["phoneme_indices"].shape == f["stress_indices"].shape
+        assert int(f["phoneme_durations"].sum()) == int(f["mel_length"])
+        assert f["pitch"].shape[0] == int(f["mel_length"])
+        assert (f["pitch"] >= 0).all() and (f["pitch"] <= 1).all()
+
+    def test_cache_roundtrip(self, synth_corpus):
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        f1 = ds.get_features(1, np.random.default_rng(0))
+        misses_before = ds.cache_misses
+        f2 = ds.get_features(1, np.random.default_rng(1))
+        assert ds.cache_misses == misses_before  # served from cache
+        np.testing.assert_array_equal(f1["mel_spec"], f2["mel_spec"])
+
+    def test_speed_perturbation_bypasses_cache(self, synth_corpus):
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus),
+            use_speed_perturbation=True,
+            speed_perturb_prob=1.0,
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg, is_training=True)
+        f1 = ds.get_features(2, np.random.default_rng(0))
+        f2 = ds.get_features(2, np.random.default_rng(99))
+        # different perturbation factors -> different frame counts (usually)
+        assert int(f1["phoneme_durations"].sum()) == int(f1["mel_length"])
+        assert int(f2["phoneme_durations"].sum()) == int(f2["mel_length"])
+
+    def test_lengths_metadata(self, synth_corpus):
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        for i in range(len(ds)):
+            frames, phonemes = ds.lengths(i)
+            assert frames > 0 and phonemes > 0
