@@ -1,0 +1,73 @@
+"""Shared argparse -> TrainingConfig plumbing (reference cli/cli.py:12-292)."""
+
+from __future__ import annotations
+
+import argparse
+
+from kokoro_tpu.config import TrainingConfig
+
+
+def add_training_arguments(parser: argparse.ArgumentParser) -> None:
+    g = parser.add_argument_group("training")
+    g.add_argument("--data-dir", default="data/processed_data")
+    g.add_argument("--output-dir", default="output_models")
+    g.add_argument("--epochs", type=int, default=None)
+    g.add_argument("--batch-size", type=int, default=None)
+    g.add_argument("--learning-rate", type=float, default=None)
+    g.add_argument("--gradient-accumulation", type=int, default=None)
+    g.add_argument("--resume", default=None,
+                   help="'auto', a checkpoint path, or '' to disable")
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--no-mfa", action="store_true")
+    g.add_argument("--mfa-alignment-dir", default=None)
+    g.add_argument("--validation-split", type=float, default=None)
+    g.add_argument("--no-dynamic-batching", action="store_true")
+    g.add_argument("--max-frames-per-batch", type=int, default=None)
+    g.add_argument("--no-ema", action="store_true")
+    g.add_argument("--no-spec-augment", action="store_true")
+    g.add_argument("--no-speed-perturbation", action="store_true")
+    g.add_argument("--no-gradient-checkpointing", action="store_true")
+    g.add_argument("--precompute-features", action="store_true")
+    g.add_argument("--compute-dtype", choices=("bfloat16", "float32"), default=None)
+    g.add_argument("--save-every", type=int, default=None)
+    g.add_argument("--early-stopping-patience", type=int, default=None)
+    g.add_argument("--verbose", action="store_true")
+
+
+def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
+    overrides = {"data_dir": args.data_dir, "output_dir": args.output_dir}
+    mapping = {
+        "epochs": "num_epochs",
+        "batch_size": "batch_size",
+        "learning_rate": "learning_rate",
+        "gradient_accumulation": "gradient_accumulation_steps",
+        "resume": "resume_checkpoint",
+        "seed": "seed",
+        "mfa_alignment_dir": "mfa_alignment_dir",
+        "validation_split": "validation_split",
+        "max_frames_per_batch": "max_frames_per_batch",
+        "compute_dtype": "compute_dtype",
+        "save_every": "save_every",
+        "early_stopping_patience": "early_stopping_patience",
+    }
+    for arg_name, cfg_name in mapping.items():
+        value = getattr(args, arg_name, None)
+        if value is not None:
+            overrides[cfg_name] = value
+    if args.no_mfa:
+        overrides["use_mfa"] = False
+    if args.no_dynamic_batching:
+        overrides["use_dynamic_batching"] = False
+    if args.no_ema:
+        overrides["use_ema"] = False
+    if args.no_spec_augment:
+        overrides["use_spec_augment"] = False
+    if args.no_speed_perturbation:
+        overrides["use_speed_perturbation"] = False
+    if args.no_gradient_checkpointing:
+        overrides["gradient_checkpointing"] = False
+    if args.precompute_features:
+        overrides["precompute_features"] = True
+    if args.verbose:
+        overrides["verbose"] = True
+    return TrainingConfig(**overrides)

@@ -1,0 +1,90 @@
+"""kokoro-infer: text -> wav synthesis CLI.
+
+The reference declares this entry point but its cli.py lacks a main
+(reference setup.py:53 -> cli/cli.py — broken); the real CLI lives at
+``python -m kokoro.inference.inference`` (reference inference/inference.py:671-843).
+This one mirrors that argparse surface and works as a console script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(
+        prog="kokoro-infer", description="Synthesize Russian speech"
+    )
+    parser.add_argument("--model", required=True, help="trained model directory")
+    parser.add_argument("--text", help="text to synthesize")
+    parser.add_argument("--file", help="text file: one utterance per line")
+    parser.add_argument("--output", default="output.wav")
+    parser.add_argument("--output-dir", default="tts_output",
+                        help="output directory for --file / --interactive")
+    parser.add_argument("--vocoder", choices=("hifigan", "griffin_lim"),
+                        default="hifigan")
+    parser.add_argument("--vocoder-path", default=None,
+                        help="HiFi-GAN weights (.pth or .npz)")
+    parser.add_argument("--weights", choices=("auto", "ema", "model"),
+                        default="auto")
+    parser.add_argument("--max-len", type=int, default=None)
+    parser.add_argument("--stop-threshold", type=float, default=None)
+    parser.add_argument("--min-len-ratio", type=float, default=None)
+    parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(message)s",
+    )
+
+    from kokoro_tpu.inference.tts import KokoroTTS
+
+    tts = KokoroTTS(
+        args.model,
+        vocoder_type=args.vocoder,
+        vocoder_path=args.vocoder_path,
+        use_ema_weights=args.weights,
+        max_len=args.max_len,
+        stop_threshold=args.stop_threshold,
+        min_len_ratio=args.min_len_ratio,
+    )
+
+    if args.interactive:
+        # REPL (reference inference.py:818-843)
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        i = 0
+        print("Enter Russian text (empty line or Ctrl-D to quit):")
+        for line in sys.stdin:
+            text = line.strip()
+            if not text:
+                break
+            path = out_dir / f"interactive_{i:03d}.wav"
+            tts.text_to_speech(text, str(path))
+            print(f"-> {path}")
+            i += 1
+        return 0
+
+    if args.file:
+        texts = [
+            ln.strip()
+            for ln in Path(args.file).read_text(encoding="utf-8").splitlines()
+            if ln.strip()
+        ]
+        tts.batch_text_to_speech(texts, args.output_dir)
+        return 0
+
+    if not args.text:
+        parser.error("one of --text, --file, --interactive is required")
+    tts.text_to_speech(args.text, args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -85,41 +85,85 @@ def _wav_num_samples(path: Path) -> int:
         return 0
 
 
+AUDIO_BUCKET_SAMPLES = 16384  # ~0.74 s at 22.05 kHz
+
+
 class FeatureExtractor:
-    """JAX-backed mel/pitch/energy extraction (jitted once, reused)."""
+    """JAX-backed mel/pitch/energy extraction with bounded compilations.
+
+    Audio is zero-padded up to a multiple of ``AUDIO_BUCKET_SAMPLES`` so XLA
+    compiles one program per length bucket (<= ~30 for a 22 s corpus) instead
+    of one per distinct utterance length — on a remote-TPU tunnel each compile
+    costs seconds, which made unbucketed precompute ~70 s/utterance.  All
+    length-adaptive statistics (YIN voicing quantile / energy median, energy
+    percentile normalization) are computed over REAL frames only via masked
+    quantiles so numerics are padding-invariant.
+    """
 
     def __init__(self, config: TrainingConfig):
         self.config = config
+        self._jitted = None
 
-    def __call__(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """audio (samples,) float32 -> (log_mel (T,80), pitch (T,), energy (T,))."""
+    def _build(self):
+        import jax
         import jax.numpy as jnp
+        from functools import partial
 
-        from kokoro_tpu.ops.energy import extract_energy_from_mel
-        from kokoro_tpu.ops.pitch import extract_pitch
-        from kokoro_tpu.ops.stft import log_mel_spectrogram, stft_power, mel_filterbank
+        from kokoro_tpu.ops.pitch import _masked_quantile, extract_pitch
+        from kokoro_tpu.ops.stft import log_mel_spectrogram
 
         cfg = self.config
-        if audio.shape[0] < cfg.win_length:
-            audio = np.pad(audio, (0, cfg.win_length - audio.shape[0]))
-        x = jnp.asarray(audio)
-        log_mel = log_mel_spectrogram(
-            x, cfg.sample_rate, cfg.n_fft, cfg.hop_length, cfg.win_length,
-            cfg.n_mels, cfg.f_min, cfg.f_max,
+
+        @jax.jit
+        def extract(audio: jnp.ndarray, n_valid: jnp.ndarray):
+            log_mel = log_mel_spectrogram(
+                audio, cfg.sample_rate, cfg.n_fft, cfg.hop_length,
+                cfg.win_length, cfg.n_mels, cfg.f_min, cfg.f_max,
+            )
+            Tb = log_mel.shape[0]
+            valid = jnp.arange(Tb)[None, :] < n_valid
+            # energy from LINEAR mel power (reference dataset.py:808-813):
+            # mean power -> log1p -> masked 5/95-percentile normalization
+            linear_mean = jnp.clip(jnp.mean(jnp.exp(log_mel), axis=-1), 0.0, None)
+            energy_raw = jnp.log1p(linear_mean)[None, :]
+            floor = _masked_quantile(energy_raw, valid, 0.05)
+            ceil = _masked_quantile(energy_raw, valid, 0.95)
+            energy = jnp.clip(
+                (energy_raw - floor) / jnp.maximum(ceil - floor, 1e-8), 0.0, 1.0
+            )[0]
+            pitch = extract_pitch(
+                audio, cfg.sample_rate, cfg.hop_length,
+                cfg.pitch_extract_fmin, cfg.pitch_extract_fmax,
+                valid_frames=n_valid,
+            )
+            return log_mel, pitch, energy
+
+        return extract
+
+    def __call__(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """audio (samples,) float32 -> (log_mel (T,80), pitch (T,), energy (T,))
+        sliced to the true frame count T."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        if self._jitted is None:
+            self._jitted = self._build()
+        orig = max(audio.shape[0], cfg.win_length)
+        # true frame count (centered STFT): orig // hop + 1, capped
+        T = min(orig // cfg.hop_length + 1, cfg.max_seq_length)
+        bucket = -(-orig // AUDIO_BUCKET_SAMPLES) * AUDIO_BUCKET_SAMPLES
+        max_samples = cfg.max_seq_length * cfg.hop_length + cfg.win_length
+        bucket = min(bucket, -(-max_samples // AUDIO_BUCKET_SAMPLES) * AUDIO_BUCKET_SAMPLES)
+        padded = np.zeros(bucket, np.float32)
+        padded[: min(orig, bucket)] = audio[: min(audio.shape[0], bucket)]
+        log_mel, pitch, energy = self._jitted(
+            jnp.asarray(padded), jnp.asarray(T, jnp.int32)
         )
-        T = min(log_mel.shape[0], cfg.max_seq_length)
-        log_mel = log_mel[:T]
-        # energy from LINEAR mel power (reference dataset.py:808-813)
-        linear_mel = jnp.exp(log_mel)  # exact inverse up to the 1e-9 epsilon
-        energy = extract_energy_from_mel(linear_mel, log_domain=False)
-        pitch = extract_pitch(
-            x, cfg.sample_rate, cfg.hop_length,
-            cfg.pitch_extract_fmin, cfg.pitch_extract_fmax,
-        )
-        pitch = np.asarray(pitch)[:T]
+        log_mel = np.asarray(log_mel[:T], np.float32)
+        pitch = np.asarray(pitch[:T], np.float32)
+        energy = np.asarray(energy[:T], np.float32)
         if pitch.shape[0] < T:
             pitch = np.pad(pitch, (0, T - pitch.shape[0]))
-        energy = np.asarray(energy)[:T]
         if energy.shape[0] < T:
             energy = np.pad(energy, (0, T - energy.shape[0]))
         # >1.5 re-normalization guard (reference dataset.py:826-841)
@@ -129,7 +173,7 @@ class FeatureExtractor:
         if energy.size and energy.max() > 1.5:
             logger.error("Unnormalized energy detected; force-normalizing")
             energy = np.clip(energy / energy.max(), 0.0, 1.0)
-        return np.asarray(log_mel, np.float32), pitch.astype(np.float32), energy.astype(np.float32)
+        return log_mel, pitch, energy
 
 
 class RuslanDataset:

@@ -1,0 +1,267 @@
+"""KokoroTTS: checkpoint-driven text -> waveform serving pipeline.
+
+Parity with reference inference/inference.py:31-669:
+
+* phoneme-processor pickle load (:90-107),
+* metadata-driven model reconstruction with strict validation (:109-375);
+  EMA-weight preference auto/ema/model (:167-192) — 'auto' uses EMA when the
+  checkpoint recorded EMA updates,
+* checkpoint-tuned inference controls with explicit-override precedence
+  (:393-451),
+* ``text_to_speech`` (:489-651): sentence split <= 150 chars (:453-487), per
+  chunk G2P -> <sil>-flatten -> indices + stress -> AR generation -> NaN /
+  flat-output health checks (:569-580) -> clamp [-11.5, 2] -> adaptive
+  trailing-silence trim (quantile threshold clamped to [-9.8, -9.2], 24-frame
+  margin, 60-frame floor, :590-621) -> vocoder -> 0.15 s inter-chunk silence,
+* batch file mode (:658-669).
+
+TPU-native: generation is one jitted ``lax.while_loop`` program per phoneme
+bucket (models/generator.py) — phoneme sequences pad up to bucket lengths so
+repeated calls hit the compile cache.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kokoro_tpu.data import text_utils
+from kokoro_tpu.data.audio_io import save_wav
+from kokoro_tpu.inference.vocoder import VocoderManager
+from kokoro_tpu.models.generator import make_generate_fn
+from kokoro_tpu.models.kokoro import KokoroModel
+from kokoro_tpu.training.checkpoint import (
+    CheckpointManager,
+    FINAL_NAME,
+    BEST_NAME,
+)
+
+logger = logging.getLogger(__name__)
+
+PHONEME_PAD_BUCKETS = (32, 64, 96, 128, 192, 256)
+
+
+class KokoroTTS:
+    def __init__(
+        self,
+        model_dir: str,
+        vocoder_type: str = "hifigan",
+        vocoder_path: Optional[str] = None,
+        use_ema_weights: str = "auto",     # auto | ema | model (:167-192)
+        max_len: Optional[int] = None,
+        stop_threshold: Optional[float] = None,
+        min_len_ratio: Optional[float] = None,
+        min_len_floor: Optional[int] = None,
+    ):
+        self.model_dir = Path(model_dir)
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.phoneme_processor = self.ckpt.load_phoneme_processor()
+        self._load_model(use_ema_weights)
+
+        meta = self.metadata
+        controls = dict(meta.get("inference_controls", {}))
+        # explicit CLI overrides take precedence over checkpoint-tuned values
+        # (:393-451)
+        self.max_frames = int(max_len or controls.get("max_seq_length", 1800))
+        self.stop_threshold = float(
+            stop_threshold
+            if stop_threshold is not None
+            else controls.get("stop_token_threshold", 0.5)
+        )
+        self.post_stop_threshold = float(
+            controls.get("post_expected_stop_threshold", 0.2)
+        )
+        self.min_len_ratio = float(min_len_ratio or 0.7)
+        self.min_len_floor = int(min_len_floor or 12)
+        self.sample_rate = int(meta.get("sample_rate", 22050))
+
+        self.vocoder = VocoderManager(
+            vocoder_type=vocoder_type,
+            vocoder_path=vocoder_path,
+            sample_rate=self.sample_rate,
+            n_mels=int(meta.get("n_mels", 80)),
+            hop_length=int(meta.get("hop_length", 256)),
+        )
+        self._generate = make_generate_fn(self.model, self.max_frames)
+
+    # ------------------------------------------------------------------
+    def _pick_checkpoint(self) -> Path:
+        """final > best > latest epoch (:109-140 order-of-preference)."""
+        for name in (FINAL_NAME, BEST_NAME):
+            p = self.model_dir / name
+            if (p / "metadata.json").exists():
+                return p
+        latest = self.ckpt.find_latest_checkpoint()
+        if latest is None:
+            raise FileNotFoundError(f"No checkpoint under {self.model_dir}")
+        return latest
+
+    def _load_model(self, use_ema_weights: str) -> None:
+        path = self._pick_checkpoint()
+        doc = self.ckpt.load_metadata(path)
+        meta = doc["model_metadata"]
+        self.metadata = meta
+        self.model = KokoroModel(
+            vocab_size=int(meta["vocab_size"]),
+            n_mels=int(meta["n_mels"]),
+            hidden_dim=int(meta["hidden_dim"]),
+            n_encoder_layers=int(meta["n_encoder_layers"]),
+            n_decoder_layers=int(meta["n_decoder_layers"]),
+            n_heads=int(meta["n_heads"]),
+            encoder_ff_dim=int(meta["encoder_ff_dim"]),
+            decoder_ff_dim=int(meta["decoder_ff_dim"]),
+            qk_norm=bool(meta.get("qk_norm", True)),
+            ffn_output_norm=bool(meta.get("ffn_output_norm", True)),
+            use_stress_embedding=bool(meta.get("use_stress_embedding", True)),
+            variance_filter_size=int(meta.get("variance_filter_size", 256)),
+            n_variance_bins=int(meta.get("n_variance_bins", 256)),
+            max_decoder_seq_len=int(meta.get("max_decoder_seq_len", 4000)),
+            use_stochastic_depth=False,     # eval: no layer drop
+            gradient_checkpointing=False,   # no remat in the decode loop
+        )
+        state, _ = self.ckpt.load_checkpoint(path, target=None)
+        ema_updates = int(doc.get("counters", {}).get("ema_updates", 0))
+        if use_ema_weights == "ema" or (
+            use_ema_weights == "auto" and ema_updates > 0
+        ):
+            self.params = state["ema_params"]
+            logger.info("Using EMA weights (%d updates)", ema_updates)
+        else:
+            self.params = state["params"]
+            logger.info("Using raw model weights")
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def split_text(text: str, max_chars: int = 150) -> List[str]:
+        """Sentence-boundary chunking (:453-487)."""
+        pieces = re.split(r"([.!?;\n])", text)
+        sentences = [
+            pieces[i] + pieces[i + 1] for i in range(0, len(pieces) - 1, 2)
+        ]
+        if len(pieces) % 2:
+            sentences.append(pieces[-1])
+        chunks: List[str] = []
+        current = ""
+        for s in sentences:
+            s = s.strip()
+            if not s:
+                continue
+            if current and len(current) + len(s) > max_chars:
+                chunks.append(current.strip())
+                current = s
+            else:
+                current = (current + " " + s).strip()
+        if current:
+            chunks.append(current.strip())
+        return chunks
+
+    def _encode_chunk(self, text: str) -> Optional[Dict[str, np.ndarray]]:
+        raw = self.phoneme_processor.process_text(text)
+        seq = text_utils.flatten_with_sil(raw, self.phoneme_processor.phoneme_to_id)
+        if not seq:
+            return None
+        indices = text_utils.phonemes_to_indices(
+            seq, self.phoneme_processor.phoneme_to_id
+        )
+        stress = text_utils.stress_indices_with_sil(
+            raw, self.phoneme_processor.phoneme_to_id
+        )
+        stress = (stress + [0] * len(indices))[: len(indices)]
+        L = len(indices)
+        bucket = next((b for b in PHONEME_PAD_BUCKETS if L <= b), L)
+        pad = bucket - L
+        return {
+            "phoneme_indices": np.asarray(indices + [0] * pad, np.int32)[None],
+            "stress_indices": np.asarray(stress + [0] * pad, np.int32)[None],
+            "text_padding_mask": np.asarray(
+                [False] * L + [True] * pad, bool
+            )[None],
+        }
+
+    def synthesize_mel(self, text: str) -> Optional[np.ndarray]:
+        """One chunk -> trimmed log-mel (T, n_mels)."""
+        enc = self._encode_chunk(text)
+        if enc is None:
+            return None
+        mel, length, expected = self._generate(
+            self.params,
+            jnp.asarray(enc["phoneme_indices"]),
+            jnp.asarray(enc["stress_indices"]),
+            jnp.asarray(enc["text_padding_mask"]),
+            stop_threshold=self.stop_threshold,
+            post_expected_stop_threshold=self.post_stop_threshold,
+            min_len_ratio=self.min_len_ratio,
+            min_len_floor=self.min_len_floor,
+            max_len_cap=min(1600, self.max_frames),
+        )
+        n = int(length)
+        mel = np.asarray(mel[0, :n])
+        if n == 0:
+            logger.warning("No mel frames generated for %r", text)
+            return None
+        # health checks (:569-580)
+        if np.isnan(mel).any():
+            logger.error("CRITICAL: mel contains NaNs")
+        if mel.std() < 1e-5:
+            logger.warning("Mel output has near-zero variance (flat output)")
+        mel = np.clip(mel, -11.5, 2.0)
+        return self._trim_trailing_silence(mel)
+
+    @staticmethod
+    def _trim_trailing_silence(mel: np.ndarray) -> np.ndarray:
+        """Adaptive trailing trim (:590-621): threshold = mean of q10/q20
+        clamped to [-9.8, -9.2]; keep 24 margin frames, >= 60 frames total."""
+        frame_means = mel.mean(axis=-1)
+        if frame_means.size == 0:
+            return mel
+        q10 = float(np.quantile(frame_means, 0.10))
+        q20 = float(np.quantile(frame_means, 0.20))
+        threshold = max(-9.8, min(-9.2, 0.5 * (q10 + q20)))
+        voiced = np.nonzero(frame_means > threshold)[0]
+        if voiced.size == 0:
+            return mel
+        end = min(mel.shape[0], int(voiced[-1]) + 24 + 1)
+        end = min(max(end, 60), mel.shape[0])
+        return mel[:end]
+
+    def text_to_speech(
+        self, text: str, output_path: Optional[str] = None
+    ) -> np.ndarray:
+        chunks = self.split_text(text)
+        segments: List[np.ndarray] = []
+        for i, chunk in enumerate(chunks):
+            try:
+                mel = self.synthesize_mel(chunk)
+            except Exception as err:  # per-chunk isolation (:643-651)
+                logger.error("Chunk %d failed: %s", i, err)
+                continue
+            if mel is None:
+                continue
+            audio = self.vocoder.mel_to_audio(jnp.asarray(mel))
+            peak = float(np.abs(audio).max()) if audio.size else 0.0
+            if peak < 1e-4:
+                logger.warning("Generated audio is nearly silent (peak %.2e)", peak)
+            segments.append(np.asarray(audio))
+            if i < len(chunks) - 1:
+                segments.append(np.zeros(int(self.sample_rate * 0.15), np.float32))
+        final = (
+            np.concatenate(segments)
+            if segments
+            else np.zeros(0, np.float32)
+        )
+        if output_path:
+            save_wav(output_path, final, self.sample_rate)
+            logger.info("Saved %s (%.2f s)", output_path, len(final) / self.sample_rate)
+        return final
+
+    def batch_text_to_speech(self, texts: List[str], output_dir: str) -> None:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for i, text in enumerate(texts):
+            self.text_to_speech(text, str(out / f"output_{i:04d}.wav"))

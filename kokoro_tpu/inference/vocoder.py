@@ -1,0 +1,141 @@
+"""Vocoder abstraction: HiFi-GAN with Griffin-Lim fallback.
+
+Parity with reference inference/vocoder_manager.py:22-351:
+
+* vocoder type 'hifigan' or 'griffin_lim'; HiFi-GAN auto-falls back to
+  Griffin-Lim when weights are unavailable (:25-60),
+* Griffin-Lim path: exp -> inverse mel (least squares) -> 60 iterations
+  (:208-351) — implemented as a single jitted JAX function (ops/stft.py).
+
+Differences: the reference downloads universal_v1 weights from Google Drive
+URLs at first use (:25-36); this environment has no egress, so weights must be
+provided as a local file — either a torch ``.pth``/``generator_v1`` checkpoint
+(converted on load via ``convert_torch_hifigan``) or a pre-converted ``.npz``.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kokoro_tpu.models.hifigan import (
+    HiFiGANConfig,
+    HiFiGANGenerator,
+    convert_torch_hifigan,
+)
+from kokoro_tpu.ops.stft import griffin_lim
+
+logger = logging.getLogger(__name__)
+
+
+class VocoderManager:
+    def __init__(
+        self,
+        vocoder_type: str = "hifigan",
+        vocoder_path: Optional[str] = None,
+        sample_rate: int = 22050,
+        n_fft: int = 1024,
+        hop_length: int = 256,
+        win_length: int = 1024,
+        n_mels: int = 80,
+        f_min: float = 0.0,
+        f_max: float = 8000.0,
+        griffin_lim_iters: int = 60,
+    ):
+        self.sample_rate = sample_rate
+        self.audio = dict(
+            n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            n_mels=n_mels, f_min=f_min, f_max=f_max,
+        )
+        self.griffin_lim_iters = griffin_lim_iters
+        self.vocoder_type = vocoder_type
+        self.hifigan_params = None
+        self.hifigan = None
+        if vocoder_type == "hifigan":
+            params = self._load_hifigan(vocoder_path)
+            if params is None:
+                logger.warning(
+                    "HiFi-GAN weights unavailable; falling back to Griffin-Lim "
+                    "(reference vocoder_manager.py:47-60 fallback semantics)"
+                )
+                self.vocoder_type = "griffin_lim"
+            else:
+                self.hifigan_params = params
+                self.hifigan = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
+                self._hifigan_apply = jax.jit(self.hifigan.apply)
+
+    def _load_hifigan(self, path: Optional[str]):
+        if path is None:
+            return None
+        path = Path(path)
+        if not path.exists():
+            logger.error("HiFi-GAN weights not found: %s", path)
+            return None
+        if path.suffix == ".npz":
+            with np.load(path, allow_pickle=True) as z:
+                flat = {k: jnp.asarray(z[k]) for k in z.files}
+            params: dict = {}
+            for k, v in flat.items():
+                node = params
+                *parents, leaf = k.split("/")
+                for p in parents:
+                    node = node.setdefault(p, {})
+                node[leaf] = v
+            return {"params": params}
+        # torch checkpoint (.pth / .pt / generator file)
+        try:
+            import torch
+
+            ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+        except Exception as err:
+            logger.error("Cannot load torch HiFi-GAN checkpoint: %s", err)
+            return None
+        state = ckpt.get("generator", ckpt) if isinstance(ckpt, dict) else ckpt
+        state = {k: v.numpy() for k, v in state.items()}
+        try:
+            return convert_torch_hifigan(state)
+        except KeyError as err:
+            logger.error("Unexpected HiFi-GAN checkpoint layout (%s)", err)
+            return None
+
+    def mel_to_audio(self, log_mel: jnp.ndarray) -> np.ndarray:
+        """(T, n_mels) log-mel -> float waveform (reference :154-206)."""
+        if self.vocoder_type == "hifigan" and self.hifigan_params is not None:
+            wav = self._hifigan_apply(self.hifigan_params, log_mel[None, :, :])
+            return np.asarray(wav[0])
+        wav = griffin_lim(
+            jnp.asarray(log_mel),
+            n_fft=self.audio["n_fft"],
+            hop_length=self.audio["hop_length"],
+            win_length=self.audio["win_length"],
+            n_iter=self.griffin_lim_iters,
+            from_log_mel=True,
+            sample_rate=self.sample_rate,
+            n_mels=self.audio["n_mels"],
+            f_min=self.audio["f_min"],
+            f_max=self.audio["f_max"],
+        )
+        return np.asarray(wav)
+
+
+def export_hifigan_npz(params: dict, path: str | Path) -> None:
+    """Flatten converted flax params to an .npz for torch-free loading."""
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(params["params"], "")
+    np.savez(Path(path), **flat)

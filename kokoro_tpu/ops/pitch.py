@@ -36,6 +36,28 @@ def _median_filter_1d(x: jnp.ndarray, k: int = 5) -> jnp.ndarray:
     return jnp.median(windows, axis=-1)
 
 
+def _masked_quantile(
+    x: jnp.ndarray, valid: jnp.ndarray, q: float
+) -> jnp.ndarray:
+    """Quantile over the last axis counting only ``valid`` entries.
+
+    Needed because feature extraction pads audio to static length buckets
+    (bounded XLA compilations) — the adaptive voicing/energy thresholds must
+    be computed over REAL frames only or padding would shift them.
+    Linear interpolation matches ``jnp.quantile`` semantics.
+    """
+    big = jnp.asarray(jnp.inf, x.dtype)
+    sorted_x = jnp.sort(jnp.where(valid, x, big), axis=-1)
+    n = jnp.sum(valid, axis=-1, keepdims=True).astype(jnp.float32)
+    pos = q * jnp.maximum(n - 1.0, 0.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    x_lo = jnp.take_along_axis(sorted_x, lo, axis=-1)
+    x_hi = jnp.take_along_axis(sorted_x, hi, axis=-1)
+    return x_lo * (1.0 - frac) + x_hi * frac
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "hop_length", "fmin", "fmax", "win_length"))
 def extract_pitch(
     waveform: jnp.ndarray,
@@ -44,9 +66,15 @@ def extract_pitch(
     fmin: float = 50.0,
     fmax: float = 800.0,
     win_length: int | None = None,
+    valid_frames: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Extract a normalized F0 contour in [0, 1] from ``(batch, samples)`` or
-    ``(samples,)`` audio.  Unvoiced frames are 0.0."""
+    ``(samples,)`` audio.  Unvoiced frames are 0.0.
+
+    ``valid_frames`` (scalar int, optional): when the waveform is zero-padded
+    to a static length bucket, pass the true frame count so the adaptive
+    voicing/energy thresholds are computed over real frames only; frames past
+    it are forced unvoiced."""
     squeeze = waveform.ndim == 1
     if squeeze:
         waveform = waveform[None, :]
@@ -111,14 +139,23 @@ def extract_pitch(
     best_lags = jnp.maximum(lags[best_idx] + offset, 1.0)
     freqs = sample_rate / best_lags                           # (B, T)
 
-    # Adaptive voicing threshold + energy gate
-    ac_25th = jnp.quantile(ac_max_vals, 0.25, axis=-1, keepdims=True)
-    voicing_thresh = jnp.clip(ac_25th * 0.8, 0.15, 0.35)
+    # Adaptive voicing threshold + energy gate (mask-aware when padded)
     frame_energy = jnp.mean(frames**2, axis=-1)
-    energy_thresh = jnp.maximum(
-        jnp.median(frame_energy, axis=-1, keepdims=True) * 0.05, 1e-9
-    )
+    if valid_frames is None:
+        ac_25th = jnp.quantile(ac_max_vals, 0.25, axis=-1, keepdims=True)
+        energy_med = jnp.median(frame_energy, axis=-1, keepdims=True)
+        frame_valid = None
+    else:
+        frame_valid = (
+            jnp.arange(ac_max_vals.shape[-1])[None, :] < valid_frames
+        )
+        ac_25th = _masked_quantile(ac_max_vals, frame_valid, 0.25)
+        energy_med = _masked_quantile(frame_energy, frame_valid, 0.5)
+    voicing_thresh = jnp.clip(ac_25th * 0.8, 0.15, 0.35)
+    energy_thresh = jnp.maximum(energy_med * 0.05, 1e-9)
     unvoiced = (ac_max_vals < voicing_thresh) | (frame_energy < energy_thresh)
+    if frame_valid is not None:
+        unvoiced = unvoiced | ~frame_valid
     freqs = jnp.where(unvoiced, 0.0, freqs)
     freqs = jnp.where((freqs < fmin) | (freqs > fmax), 0.0, freqs)
 

@@ -175,7 +175,11 @@ def griffin_lim(
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
 
-    def _istft(spec: jnp.ndarray) -> jnp.ndarray:
+    # TPU has no complex elementwise ops (exp/div on complex64 are
+    # UNIMPLEMENTED), so the phase iteration carries (re, im) float pairs and
+    # forms complex values only at the FFT boundary via lax.complex.
+    def _istft(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        spec = jax.lax.complex(re, im)
         frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, :]
         out_len = n_fft + hop_length * (n_frames - 1)
         starts = jnp.arange(n_frames) * hop_length
@@ -190,20 +194,23 @@ def griffin_lim(
         pad = n_fft // 2
         return wav[pad : out_len - pad]
 
-    def _stft_complex(wav: jnp.ndarray) -> jnp.ndarray:
+    def _stft_re_im(wav: jnp.ndarray):
         frames = frame_signal(wav, n_fft, hop_length)[:n_frames]
-        return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+        spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+        return jnp.real(spec), jnp.imag(spec)
 
     if key is None:
         key = jax.random.PRNGKey(0)
     angles = jax.random.uniform(key, (n_frames, n_freqs), minval=-math.pi, maxval=math.pi)
-    spec = magnitude * jnp.exp(1j * angles.astype(jnp.float32))
+    re = magnitude * jnp.cos(angles)
+    im = magnitude * jnp.sin(angles)
 
-    def body(_, spec):
-        wav = _istft(spec)
-        rebuilt = _stft_complex(wav)
-        phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-8)
-        return magnitude * phase
+    def body(_, carry):
+        re, im = carry
+        wav = _istft(re, im)
+        r_re, r_im = _stft_re_im(wav)
+        mag = jnp.maximum(jnp.sqrt(r_re**2 + r_im**2), 1e-8)
+        return magnitude * r_re / mag, magnitude * r_im / mag
 
-    spec = jax.lax.fori_loop(0, n_iter, body, spec)
-    return _istft(spec)
+    re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
+    return _istft(re, im)

@@ -145,13 +145,21 @@ def global_norm(tree) -> jnp.ndarray:
     )
 
 
-def make_loss_fn(model: KokoroModel, config: TrainingConfig):
+def make_loss_fn(
+    model: KokoroModel, config: TrainingConfig, spec_augment: bool = True
+):
+    """``spec_augment=False`` omits the specaugment rng so the model skips
+    memory masking — used for epochs before ``spec_augment_start_epoch``
+    (reference trainer.py:2042-2055)."""
+
     def loss_fn(params, batch, rng, deterministic: bool = False):
         text_pad, mel_pad = _batch_masks(batch)
         rngs = None
         if not deterministic:
             d_rng, s_rng = jax.random.split(rng)
-            rngs = {"dropout": d_rng, "specaugment": s_rng}
+            rngs = {"dropout": d_rng}
+            if spec_augment:
+                rngs["specaugment"] = s_rng
         out = model.apply(
             params,
             phoneme_indices=batch["phoneme_indices"],
@@ -198,6 +206,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     preclip_tree=None,
     ema_decay: float = 0.999,
+    spec_augment: bool = True,
 ):
     """Build ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -205,7 +214,7 @@ def make_train_step(
     ``gradient_accumulation_steps``; gradients are averaged across it with a
     ``lax.scan`` (the exact-divisor semantics of reference trainer.py:3344).
     """
-    loss_fn = make_loss_fn(model, config)
+    loss_fn = make_loss_fn(model, config, spec_augment=spec_augment)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def one_microbatch(params, micro, rng):

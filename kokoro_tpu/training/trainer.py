@@ -26,7 +26,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -216,12 +216,8 @@ class KokoroTrainer:
             self.model, cfg, self.optimizer, rng, example, params=params
         )
         preclips = build_preclip_tree(params, cfg)
-        self.train_step = jax.jit(
-            make_train_step(
-                self.model, cfg, self.optimizer, preclips, self.ema_decay
-            ),
-            donate_argnums=(0,) if cfg.donate_state else (),
-        )
+        self._preclips = preclips
+        self._train_step_cache: Dict[bool, Any] = {}
         self.eval_step = jax.jit(make_eval_step(self.model, cfg))
         self.metadata = build_model_metadata(
             cfg, self.phoneme_processor.get_vocab_size()
@@ -287,8 +283,27 @@ class KokoroTrainer:
         self.writer.flush()
         return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
 
+    def _get_train_step(self, spec_augment: bool):
+        """Step fn variants keyed by SpecAugment gating — the rng-dict shape is
+        static under jit, so enabling SA after ``spec_augment_start_epoch``
+        costs exactly one extra compilation."""
+        if spec_augment not in self._train_step_cache:
+            cfg = self.config
+            self._train_step_cache[spec_augment] = jax.jit(
+                make_train_step(
+                    self.model, cfg, self.optimizer, self._preclips,
+                    self.ema_decay, spec_augment=spec_augment,
+                ),
+                donate_argnums=(0,) if cfg.donate_state else (),
+            )
+        return self._train_step_cache[spec_augment]
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
+        spec_augment_on = (
+            cfg.use_spec_augment and (epoch + 1) >= cfg.spec_augment_start_epoch
+        )
+        train_step = self._get_train_step(spec_augment_on)
         batches = self.batcher.build_batches(epoch)
         rng = np.random.default_rng(cfg.seed + epoch)
         step_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
@@ -307,7 +322,7 @@ class KokoroTrainer:
             batch = self._assemble(group, rng)
             group = []
             step_rng, sub = jax.random.split(step_rng)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.state, metrics = train_step(self.state, batch, sub)
             n_steps += 1
 
             step = int(self.state.opt_step)

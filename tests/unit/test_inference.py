@@ -1,0 +1,257 @@
+"""Inference stack tests: AR generator termination/shapes, HiFi-GAN
+numerical parity vs a torch-built generator (weight-norm folding), vocoder
+fallback, trailing-silence trim, text chunking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kokoro_tpu.models.generator import make_generate_fn
+from kokoro_tpu.models.hifigan import (
+    HiFiGANConfig,
+    HiFiGANGenerator,
+    convert_torch_hifigan,
+)
+from kokoro_tpu.models.kokoro import KokoroModel
+
+VOCAB = 24
+
+
+def tiny_model():
+    return KokoroModel(
+        vocab_size=VOCAB, n_mels=8, hidden_dim=32, n_encoder_layers=1,
+        n_decoder_layers=2, n_heads=4, encoder_ff_dim=48, decoder_ff_dim=48,
+        variance_filter_size=16, n_variance_bins=16,
+        gradient_checkpointing=False, use_stochastic_depth=False,
+    )
+
+
+class TestGenerator:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = tiny_model()
+        rng = np.random.default_rng(0)
+        L, T = 6, 24
+        batch = dict(
+            phoneme_indices=jnp.asarray(rng.integers(1, VOCAB, (1, L))),
+            stress_indices=jnp.asarray(rng.integers(0, 3, (1, L))),
+            mel_specs=jnp.asarray(rng.normal(size=(1, T, 8)).astype(np.float32)),
+            phoneme_durations=jnp.asarray(rng.integers(1, 4, (1, L))),
+        )
+        params = model.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+        return model, params
+
+    def test_generates_and_terminates(self, setup):
+        model, params = setup
+        gen = make_generate_fn(model, max_frames=32)
+        rng = np.random.default_rng(1)
+        mel, length, expected = gen(
+            params,
+            jnp.asarray(rng.integers(1, VOCAB, (1, 6))),
+            jnp.asarray(rng.integers(0, 3, (1, 6))),
+            jnp.zeros((1, 6), bool),
+        )
+        assert mel.shape == (1, 32, 8)
+        n = int(length)
+        assert 0 < n <= 32
+        assert bool(jnp.isfinite(mel).all())
+        # clamp applied
+        assert float(mel.max()) <= 2.0 and float(mel.min()) >= -11.5
+
+    def test_deterministic(self, setup):
+        model, params = setup
+        gen = make_generate_fn(model, max_frames=32)
+        args = (
+            jnp.asarray([[1, 2, 3, 4, 5, 6]]),
+            jnp.zeros((1, 6), jnp.int32),
+            jnp.zeros((1, 6), bool),
+        )
+        m1, l1, _ = gen(params, *args)
+        m2, l2, _ = gen(params, *args)
+        assert int(l1) == int(l2)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2))
+
+    def test_respects_min_length(self, setup):
+        model, params = setup
+        gen = make_generate_fn(model, max_frames=64)
+        mel, length, _ = gen(
+            params,
+            jnp.asarray([[1, 2, 3, 4, 5, 6]]),
+            jnp.zeros((1, 6), jnp.int32),
+            jnp.zeros((1, 6), bool),
+            min_len_floor=20,
+        )
+        assert int(length) >= 20 or int(length) == 64
+
+
+def build_torch_hifigan(cfg: HiFiGANConfig, seed=0):
+    """A reference torch HiFi-GAN V1 generator built from the paper spec
+    (conv_pre -> ups + MRF resblocks -> conv_post), weight-normed like the
+    upstream checkpoints."""
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils import weight_norm
+
+    torch.manual_seed(seed)
+    lrelu = 0.1
+
+    class ResBlock(nn.Module):
+        def __init__(self, ch, k, dils):
+            super().__init__()
+            self.convs1 = nn.ModuleList(
+                [weight_norm(nn.Conv1d(ch, ch, k, dilation=d, padding=(k - 1) * d // 2)) for d in dils]
+            )
+            self.convs2 = nn.ModuleList(
+                [weight_norm(nn.Conv1d(ch, ch, k, dilation=1, padding=(k - 1) // 2)) for _ in dils]
+            )
+
+        def forward(self, x):
+            for c1, c2 in zip(self.convs1, self.convs2):
+                h = torch.nn.functional.leaky_relu(x, lrelu)
+                h = c1(h)
+                h = torch.nn.functional.leaky_relu(h, lrelu)
+                h = c2(h)
+                x = x + h
+            return x
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_pre = weight_norm(nn.Conv1d(cfg.num_mels, cfg.upsample_initial_channel, 7, padding=3))
+            self.ups = nn.ModuleList()
+            self.resblocks = nn.ModuleList()
+            for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+                ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+                self.ups.append(
+                    weight_norm(
+                        nn.ConvTranspose1d(
+                            cfg.upsample_initial_channel // (2**i), ch, k, r,
+                            padding=(k - r) // 2,
+                        )
+                    )
+                )
+                for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+                    self.resblocks.append(ResBlock(ch, rk, rd))
+            self.conv_post = weight_norm(nn.Conv1d(ch, 1, 7, padding=3))
+
+        def forward(self, x):
+            n_k = len(cfg.resblock_kernel_sizes)
+            x = self.conv_pre(x)
+            for i, up in enumerate(self.ups):
+                x = torch.nn.functional.leaky_relu(x, lrelu)
+                x = up(x)
+                acc = None
+                for j in range(n_k):
+                    out = self.resblocks[i * n_k + j](x)
+                    acc = out if acc is None else acc + out
+                x = acc / n_k
+            x = torch.nn.functional.leaky_relu(x, lrelu)
+            return torch.tanh(self.conv_post(x))
+
+    return Generator()
+
+
+class TestHiFiGAN:
+    CFG = HiFiGANConfig(
+        num_mels=8,
+        upsample_initial_channel=32,
+        upsample_rates=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+
+    def test_matches_torch_reference(self):
+        torch = pytest.importorskip("torch")
+        cfg = self.CFG
+        tg = build_torch_hifigan(cfg)
+        tg.eval()
+        mel_t = torch.randn(2, cfg.num_mels, 17)
+        with torch.no_grad():
+            want = tg(mel_t).squeeze(1).numpy()
+
+        state = {k: v.detach().numpy() for k, v in tg.state_dict().items()}
+        params = convert_torch_hifigan(state, cfg)
+        model = HiFiGANGenerator(cfg)
+        got = np.asarray(model.apply(params, jnp.asarray(mel_t.numpy().transpose(0, 2, 1))))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_upsampling_factor(self):
+        cfg = self.CFG
+        model = HiFiGANGenerator(cfg)
+        mel = jnp.zeros((1, 10, cfg.num_mels))
+        params = model.init(jax.random.PRNGKey(0), mel)
+        wav = model.apply(params, mel)
+        assert wav.shape == (1, 10 * 4 * 4)
+
+    def test_output_bounded(self):
+        cfg = self.CFG
+        model = HiFiGANGenerator(cfg)
+        mel = jnp.asarray(np.random.default_rng(0).normal(size=(1, 12, 8)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), mel)
+        wav = model.apply(params, mel)
+        assert float(jnp.abs(wav).max()) <= 1.0  # tanh
+
+
+class TestVocoderManager:
+    def test_griffin_lim_fallback(self):
+        from kokoro_tpu.inference.vocoder import VocoderManager
+        from kokoro_tpu.ops.stft import log_mel_spectrogram
+
+        vm = VocoderManager(vocoder_type="hifigan", vocoder_path=None)
+        assert vm.vocoder_type == "griffin_lim"  # auto-fallback
+        t = np.arange(8192) / 22050
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mel = log_mel_spectrogram(jnp.asarray(x))
+        wav = vm.mel_to_audio(mel)
+        assert wav.ndim == 1 and len(wav) > 4096
+        assert np.isfinite(wav).all()
+        # reconstruction carries real energy
+        assert np.abs(wav).max() > 0.01
+
+    def test_npz_roundtrip(self, tmp_path):
+        from kokoro_tpu.inference.vocoder import VocoderManager, export_hifigan_npz
+
+        cfg = TestHiFiGAN.CFG
+        model = HiFiGANGenerator(cfg)
+        mel = jnp.zeros((1, 4, cfg.num_mels))
+        params = model.init(jax.random.PRNGKey(0), mel)
+        path = tmp_path / "hifigan.npz"
+        export_hifigan_npz(params, path)
+        vm = VocoderManager(vocoder_type="hifigan", vocoder_path=str(path), n_mels=8)
+        assert vm.vocoder_type == "hifigan"
+        restored = vm.hifigan_params["params"]
+        got = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.allclose(a, b)), params["params"], restored
+        )
+        assert all(jax.tree_util.tree_leaves(got))
+
+
+class TestTTSHelpers:
+    def test_split_text(self):
+        from kokoro_tpu.inference.tts import KokoroTTS
+
+        text = "Первое предложение. Второе предложение! Третье? " * 4
+        chunks = KokoroTTS.split_text(text, max_chars=60)
+        assert all(len(c) <= 120 for c in chunks)
+        # 2 occurrences per repetition x 4 repetitions survive chunking
+        assert "".join(chunks).count("предложение") == 8
+
+    def test_trim_trailing_silence(self):
+        from kokoro_tpu.inference.tts import KokoroTTS
+
+        mel = np.full((200, 8), -11.0, np.float32)
+        mel[:100] = -4.0  # voiced first half
+        out = KokoroTTS._trim_trailing_silence(mel)
+        assert 100 <= out.shape[0] <= 130  # last voiced ~99 + margin 24
+
+    def test_trim_keeps_min_frames(self):
+        from kokoro_tpu.inference.tts import KokoroTTS
+
+        mel = np.full((200, 8), -11.0, np.float32)
+        mel[:5] = -4.0
+        out = KokoroTTS._trim_trailing_silence(mel)
+        assert out.shape[0] >= 60
