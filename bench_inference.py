@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Serving benchmark: end-to-end synthesis real-time factor (RTF).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+RTF = synthesis_time / audio_duration (lower is better); value reported is
+1/RTF (x realtime, higher is better).  The reference logs frames/s per
+utterance with no published number (BASELINE.md), so vs_baseline is measured
+against 1.0x realtime.
+
+Uses a randomly initialized flagship acoustic model + Griffin-Lim (no trained
+weights are shipped); the compute cost is identical to a trained model, so the
+RTF is representative.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kokoro_tpu.config import get_default_config
+    from kokoro_tpu.models.generator import make_generate_fn
+    from kokoro_tpu.models.kokoro import KokoroModel
+
+    config = get_default_config()
+    VOCAB = 128
+    L, MAX_FRAMES = 128, 1024
+    model = KokoroModel(
+        vocab_size=VOCAB,
+        n_mels=config.n_mels,
+        hidden_dim=config.hidden_dim,
+        n_encoder_layers=config.n_encoder_layers,
+        n_decoder_layers=config.n_decoder_layers,
+        n_heads=config.n_heads,
+        encoder_ff_dim=config.encoder_ff_dim,
+        decoder_ff_dim=config.decoder_ff_dim,
+        qk_norm=config.qk_norm,
+        ffn_output_norm=config.ffn_output_norm,
+        use_stochastic_depth=False,
+        gradient_checkpointing=False,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    phonemes = jnp.asarray(rng.integers(1, VOCAB, (1, L)), jnp.int32)
+    stress = jnp.asarray(rng.integers(0, 3, (1, L)), jnp.int32)
+    pad = jnp.zeros((1, L), bool)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        phoneme_indices=phonemes,
+        mel_specs=jnp.zeros((1, 64, config.n_mels)),
+        phoneme_durations=jnp.ones((1, L), jnp.int32),
+        stress_indices=stress,
+        deterministic=True,
+    )
+    generate = make_generate_fn(model, MAX_FRAMES)
+
+    # force full-length generation (untrained stop head would fire early /
+    # late nondeterministically): min_len_ratio pins the decode length
+    kwargs = dict(stop_threshold=1.1, min_len_ratio=0.0, min_len_floor=MAX_FRAMES - 1,
+                  max_len_cap=MAX_FRAMES)
+    mel, length, _ = generate(params, phonemes, stress, pad, **kwargs)
+    _ = float(mel[0, 0, 0])  # value fetch = the only true barrier on this host
+
+    # sync per call with a VALUE fetch (block_until_ready does not reliably
+    # wait on this device transport): decode LATENCY is the metric
+    n_runs = 3
+    t0 = time.perf_counter()
+    for r in range(n_runs):
+        mel, length, _ = generate(params, phonemes, stress, pad, **kwargs)
+        _ = float(mel[0, 0, 0])
+    decode_s = (time.perf_counter() - t0) / n_runs
+
+    n_frames = int(length)
+    audio_seconds = n_frames * config.hop_length / config.sample_rate
+    # vocoder cost (Griffin-Lim fallback; HiFi-GAN is cheaper per frame)
+    from kokoro_tpu.ops.stft import griffin_lim
+
+    gl = jax.jit(lambda m: griffin_lim(m, n_iter=60))
+    wav = gl(mel[0, :n_frames])
+    _ = float(wav[0])
+    t0 = time.perf_counter()
+    wav = gl(mel[0, :n_frames])
+    _ = float(wav[0])
+    vocoder_s = time.perf_counter() - t0
+
+    total_s = decode_s + vocoder_s
+    rtf = total_s / audio_seconds
+    x_realtime = 1.0 / rtf
+    print(
+        json.dumps(
+            {
+                "metric": "synthesis_x_realtime",
+                "value": round(x_realtime, 2),
+                "unit": "x realtime (AR decode + Griffin-Lim, 1 chip)",
+                "vs_baseline": round(x_realtime / 1.0, 2),
+                "detail": {
+                    "frames": n_frames,
+                    "audio_s": round(audio_seconds, 2),
+                    "decode_s": round(decode_s, 3),
+                    "vocoder_s": round(vocoder_s, 3),
+                    "frames_per_s": round(n_frames / decode_s, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

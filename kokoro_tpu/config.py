@@ -208,6 +208,16 @@ class TrainingConfig:
     compute_dtype: str = "bfloat16"                # matmul/activation dtype
     param_dtype: str = "float32"                   # parameter dtype
     donate_state: bool = True
+    # Consecutive same-bucket batches are stacked and scanned inside ONE jitted
+    # call (lax.scan over optimizer steps).  Amortizes per-dispatch overhead —
+    # measured 190 ms/call vs ~2 ms of compute on tunneled-TPU hosts.
+    scan_steps: int = 8
+    # pallas flash attention for full-sequence attention.  The kernel cannot
+    # apply attention-WEIGHT dropout; attention_weight_dropout=False removes it
+    # (residual dropouts remain) so flash stays active during training —
+    # a documented deviation from the reference enabled by the perf preset.
+    use_flash_attention: bool = False
+    attention_weight_dropout: bool = True
 
     def __post_init__(self) -> None:
         if not self.feature_cache_dir:
@@ -279,6 +289,8 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         max_frames_per_batch=30000,
         max_batch_size=16,
         gradient_checkpointing=False,
+        use_flash_attention=True,
+        attention_weight_dropout=False,
     )
     base.update(overrides)
     return TrainingConfig(**base)

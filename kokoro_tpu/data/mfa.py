@@ -101,14 +101,35 @@ MAX_SPN_SPAN = 40
 
 
 def align_durations(
-    mfa_labeled: List[Tuple[str, int]], text_phones: List[str]
+    mfa_labeled: List[Tuple[str, int]],
+    text_phones: List[str],
+    use_native: bool = True,
 ) -> Optional[List[int]]:
     """Align (phone, frames) pairs from MFA onto the G2P phoneme sequence.
 
     Guarantees ``len(result) == len(text_phones)``; total frames are conserved
     (dropped MFA frames pool into the next matched phone; a trailing pool goes
     into the last phone).  Returns None only when no path exists.
+
+    Dispatches to the C++ DP core (kokoro_tpu/native/aligner.cpp, ~100x
+    faster) when available; this Python implementation is the reference
+    semantics and the fallback.
     """
+    if use_native:
+        try:
+            from kokoro_tpu.native import native_align_durations, native_available
+
+            if native_available():
+                return native_align_durations(
+                    mfa_labeled, text_phones,
+                    phones_equivalent=phones_equivalent,
+                    iotated=IOTATED,
+                    prosody_tokens=PROSODY_TOKENS,
+                    length_mark=LENGTH_MARK,
+                )
+        except Exception as err:  # never let the native path break alignment
+            logger.warning("Native aligner failed (%s); using Python DP", err)
+
     n, m = len(mfa_labeled), len(text_phones)
     if m == 0:
         return []

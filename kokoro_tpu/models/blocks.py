@@ -37,6 +37,55 @@ NEG_INF = -1e9  # large finite negative: avoids NaN from all-masked softmax rows
 xavier = nn.initializers.xavier_uniform
 xavier_half = lambda: nn.initializers.variance_scaling(0.25, "fan_avg", "uniform")
 
+_FLASH_BLOCK = 128  # sequence block for the pallas flash-attention kernel
+
+
+def _flash_supported(q_len: int, kv_len: int, head_dim: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"  # pallas mosaic kernels are TPU-only
+        and q_len % _FLASH_BLOCK == 0
+        and kv_len % _FLASH_BLOCK == 0
+        and head_dim % 64 == 0
+        and q_len >= _FLASH_BLOCK
+        and kv_len >= _FLASH_BLOCK
+    )
+
+
+def _flash_attention(q, k, v, *, causal, scale, q_valid=None, kv_valid=None):
+    """Pallas TPU flash attention (fwd + custom bwd, no (T, T) residuals).
+
+    Padding masks map to SegmentIds: valid positions are segment 1, padding is
+    segment 0 — cross-segment attention is masked inside the kernel.  Padded
+    queries attend only padding (their outputs are garbage and masked
+    downstream, same as the einsum path's semantics).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, Tq, Dh = q.shape
+    Tk = k.shape[2]
+    block = _FLASH_BLOCK
+    block_sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    segment_ids = None
+    if q_valid is not None or kv_valid is not None:
+        ones_q = jnp.ones((B, Tq), jnp.int32)
+        ones_k = jnp.ones((B, Tk), jnp.int32)
+        q_seg = ones_q if q_valid is None else q_valid.astype(jnp.int32)
+        kv_seg = ones_k if kv_valid is None else kv_valid.astype(jnp.int32)
+        segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
+    return flash_attention(
+        q, k, v, segment_ids=segment_ids, causal=causal, sm_scale=scale,
+        block_sizes=block_sizes,
+    )
+
 
 def drop_path(
     x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
@@ -64,6 +113,11 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     use_rope: bool = False
     qk_norm: bool = False
+    # Use the pallas flash-attention kernel on the full-sequence path when the
+    # shapes allow it AND attention-weight dropout is inactive (the kernel
+    # cannot drop weights; with dropout > 0 and deterministic=False the einsum
+    # path keeps reference parity).
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -172,6 +226,24 @@ class MultiHeadAttention(nn.Module):
                 k = apply_rope(k, jnp.arange(k.shape[2]))
             new_cache = None
 
+        can_flash = (
+            self.use_flash
+            and kv_cache is None
+            and (deterministic or self.dropout == 0.0)
+            and _flash_supported(q.shape[2], k.shape[2], head_dim)
+        )
+        if can_flash:
+            kv_valid = (
+                None if key_padding_mask is None else ~key_padding_mask.astype(bool)
+            )
+            out = _flash_attention(
+                q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
+                causal=causal, scale=1.0 / float(head_dim) ** 0.5,
+                kv_valid=kv_valid,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+            return self.w_o(out), new_cache
+
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -238,6 +310,8 @@ class EncoderBlock(nn.Module):
     drop_path_rate: float = 0.0
     qk_norm: bool = False
     ffn_output_norm: bool = False
+    attention_weight_dropout: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -249,10 +323,12 @@ class EncoderBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        attn_p = self.dropout if self.attention_weight_dropout else 0.0
         h = nn.LayerNorm(name="norm1", **common)(x)
         attn_out, _ = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout,
-            use_rope=True, qk_norm=self.qk_norm, name="self_attn", **common,
+            self.d_model, self.num_heads, attn_p,
+            use_rope=True, qk_norm=self.qk_norm, use_flash=self.use_flash,
+            name="self_attn", **common,
         )(h, key_padding_mask=padding_mask, deterministic=deterministic)
         attn_out = drop_path(
             attn_out, self.drop_path_rate, deterministic,
@@ -285,21 +361,26 @@ class DecoderBlock(nn.Module):
     drop_path_rate: float = 0.0
     qk_norm: bool = False
     ffn_output_norm: bool = False
+    attention_weight_dropout: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        attn_p = self.dropout if self.attention_weight_dropout else 0.0
         self.norm1 = nn.LayerNorm(name="norm1", **common)
         self.norm2 = nn.LayerNorm(name="norm2", **common)
         self.norm3 = nn.LayerNorm(name="norm3", **common)
         self.self_attn = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout,
-            use_rope=True, qk_norm=self.qk_norm, name="self_attn", **common,
+            self.d_model, self.num_heads, attn_p,
+            use_rope=True, qk_norm=self.qk_norm, use_flash=self.use_flash,
+            name="self_attn", **common,
         )
         self.cross_attn = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout,
-            use_rope=False, qk_norm=self.qk_norm, name="cross_attn", **common,
+            self.d_model, self.num_heads, attn_p,
+            use_rope=False, qk_norm=self.qk_norm, use_flash=self.use_flash,
+            name="cross_attn", **common,
         )
         self.ff = GLUFeedForward(
             self.d_model, self.dim_feedforward, self.dropout,

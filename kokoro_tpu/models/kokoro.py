@@ -61,6 +61,10 @@ class KokoroModel(nn.Module):
     n_variance_bins: int = 256
     length_regulator_stop_gradient: bool = True
     gradient_checkpointing: bool = True
+    # pallas flash attention on full-sequence paths; needs
+    # attention_weight_dropout=False to stay active in training
+    use_flash_attention: bool = False
+    attention_weight_dropout: bool = True
     # SpecAugment knobs (applied to encoder memory when a 'specaugment' rng is
     # provided and deterministic=False)
     use_spec_augment: bool = True
@@ -108,7 +112,9 @@ class KokoroModel(nn.Module):
             enc_block(
                 self.hidden_dim, self.n_heads, self.encoder_ff_dim,
                 self.encoder_dropout, drop_path_rate=r, qk_norm=self.qk_norm,
-                ffn_output_norm=self.ffn_output_norm, name=f"encoder_layer_{i}",
+                ffn_output_norm=self.ffn_output_norm,
+                attention_weight_dropout=self.attention_weight_dropout,
+                use_flash=self.use_flash_attention, name=f"encoder_layer_{i}",
                 **common,
             )
             for i, r in enumerate(rates(self.n_encoder_layers))
@@ -133,7 +139,9 @@ class KokoroModel(nn.Module):
             dec_block(
                 self.hidden_dim, self.n_heads, self.decoder_ff_dim,
                 self.decoder_dropout, drop_path_rate=r, qk_norm=self.qk_norm,
-                ffn_output_norm=self.ffn_output_norm, name=f"decoder_layer_{i}",
+                ffn_output_norm=self.ffn_output_norm,
+                attention_weight_dropout=self.attention_weight_dropout,
+                use_flash=self.use_flash_attention, name=f"decoder_layer_{i}",
                 **common,
             )
             for i, r in enumerate(rates(self.n_decoder_layers))

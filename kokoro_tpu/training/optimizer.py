@@ -253,26 +253,77 @@ def make_group_schedule(
 # Optimizer assembly
 # ----------------------------------------------------------------------
 
+class FusedAdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
 def build_optimizer(
     config: TrainingConfig, params, total_steps: int
 ) -> optax.GradientTransformation:
-    """10-group AdamW with per-group schedules (reference trainer.py:446-690).
+    """10-group AdamW with per-group schedules (reference trainer.py:446-690),
+    hand-fused into a single tree pass.
 
-    The adaptive global clip and the per-param pre-clips are applied in the
-    train step (they depend on runtime state); this transformation is AdamW +
-    per-group decayed weights + per-group LR schedules.
+    Why not ``optax.multi_transform`` over 10 ``optax.adamw`` chains: each
+    masked chain emits ~6 tiny kernels per parameter leaf, ~15k kernels per
+    step — measured ~170 ms/step of pure launch overhead on a v5e (vs ~8 ms of
+    model fwd+bwd).  This implementation computes identical updates (optax
+    ``scale_by_adam`` bias correction + decoupled weight decay + per-group LR
+    schedule evaluated at the pre-increment count) in one ``tree_map``:
+    ~one fused kernel per leaf.
+
+    The adaptive global clip and per-param pre-clips are applied in the train
+    step (they depend on runtime state).
     """
     labels = label_params(params)
-    transforms: Dict[str, optax.GradientTransformation] = {}
-    for label in GROUP_LABELS:
-        transforms[label] = optax.adamw(
-            learning_rate=make_group_schedule(config, total_steps, label),
-            b1=config.adam_b1,
-            b2=config.adam_b2,
-            eps=config.adam_eps,
-            weight_decay=group_weight_decay(label, config),
+    schedules = {
+        label: make_group_schedule(config, total_steps, label)
+        for label in GROUP_LABELS
+    }
+    decays = {label: group_weight_decay(label, config) for label in GROUP_LABELS}
+    b1, b2, eps = config.adam_b1, config.adam_b2, config.adam_eps
+
+    def init(params):
+        zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(params), nu=zeros(params)
         )
-    return optax.multi_transform(transforms, labels)
+
+    def update(grads, state, params=None):
+        count = state.count
+        t = (count + 1).astype(jnp.float32)
+        # one scalar LR per group, evaluated at the pre-increment count
+        # (optax.scale_by_schedule semantics)
+        lr_by_label = {lab: schedules[lab](count) for lab in GROUP_LABELS}
+        bc1 = 1.0 - b1**t
+        bc2 = 1.0 - b2**t
+
+        def leaf_update(g, mu, nu, p, label):
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * (g * g)
+            mu_hat = mu / bc1
+            nu_hat = nu / bc2
+            adam = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            wd = decays[label]
+            step = adam + (wd * p if wd else 0.0)
+            return -lr_by_label[label] * step, mu, nu
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        flat_lab = treedef.flatten_up_to(labels)
+        outs = [
+            leaf_update(g, mu, nu, p, lab)
+            for g, mu, nu, p, lab in zip(flat_g, flat_mu, flat_nu, flat_p, flat_lab)
+        ]
+        updates = treedef.unflatten([o[0] for o in outs])
+        new_mu = treedef.unflatten([o[1] for o in outs])
+        new_nu = treedef.unflatten([o[2] for o in outs])
+        return updates, FusedAdamWState(count + 1, new_mu, new_nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 # ----------------------------------------------------------------------

@@ -310,6 +310,32 @@ def make_train_step(
     return train_step
 
 
+def make_multi_step(train_step, num_steps: int):
+    """Scan ``num_steps`` train steps inside one jitted call.
+
+    The batch dict must carry a leading axis of size ``num_steps`` (stack of
+    same-bucket batches).  Metrics are returned per step (stacked).
+
+    Why: one train-step call returns thousands of state buffers; on hosts
+    where the TPU is reached through a tunnel (or at very small step times)
+    per-call dispatch dominates — measured 190 ms/call overhead vs 2 ms of
+    model compute on this machine.  Scanning k steps amortizes the dispatch
+    k-fold without changing semantics (RNG folds per step).
+    """
+
+    def multi_step(state, batches, rng):
+        rngs = jax.random.split(rng, num_steps)
+
+        def body(carry, xs):
+            batch, step_rng = xs
+            new_state, metrics = train_step(carry, batch, step_rng)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi_step
+
+
 def make_eval_step(model: KokoroModel, config: TrainingConfig):
     """Validation step on EMA params (reference trainer.py:1771-1910)."""
     loss_fn = make_loss_fn(model, config)

@@ -180,6 +180,8 @@ class KokoroTrainer:
             n_variance_bins=cfg.n_variance_bins,
             length_regulator_stop_gradient=cfg.length_regulator_stop_gradient,
             gradient_checkpointing=cfg.gradient_checkpointing,
+            use_flash_attention=cfg.use_flash_attention,
+            attention_weight_dropout=cfg.attention_weight_dropout,
             use_spec_augment=cfg.use_spec_augment,
             spec_augment_time_mask_max=cfg.spec_augment_time_mask_max,
             spec_augment_freq_mask_max=cfg.spec_augment_freq_mask_max,
@@ -283,34 +285,62 @@ class KokoroTrainer:
         self.writer.flush()
         return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
 
-    def _get_train_step(self, spec_augment: bool):
-        """Step fn variants keyed by SpecAugment gating — the rng-dict shape is
-        static under jit, so enabling SA after ``spec_augment_start_epoch``
-        costs exactly one extra compilation."""
-        if spec_augment not in self._train_step_cache:
+    def _get_train_step(self, spec_augment: bool, scan_steps: int = 1):
+        """Jitted step-fn variants keyed by (SpecAugment gating, scan length).
+
+        ``scan_steps > 1`` wraps the step in ``lax.scan`` over a leading
+        stacked-batch axis (make_multi_step) — one dispatch per K optimizer
+        steps.  The rng-dict shape is static under jit, so enabling SA after
+        ``spec_augment_start_epoch`` costs exactly one extra compilation."""
+        key = (spec_augment, scan_steps)
+        if key not in self._train_step_cache:
             cfg = self.config
-            self._train_step_cache[spec_augment] = jax.jit(
-                make_train_step(
-                    self.model, cfg, self.optimizer, self._preclips,
-                    self.ema_decay, spec_augment=spec_augment,
-                ),
-                donate_argnums=(0,) if cfg.donate_state else (),
+            step = make_train_step(
+                self.model, cfg, self.optimizer, self._preclips,
+                self.ema_decay, spec_augment=spec_augment,
             )
-        return self._train_step_cache[spec_augment]
+            if scan_steps > 1:
+                from kokoro_tpu.training.train_step import make_multi_step
+
+                step = make_multi_step(step, scan_steps)
+            self._train_step_cache[key] = jax.jit(
+                step, donate_argnums=(0,) if cfg.donate_state else (),
+            )
+        return self._train_step_cache[key]
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
         spec_augment_on = (
             cfg.use_spec_augment and (epoch + 1) >= cfg.spec_augment_start_epoch
         )
-        train_step = self._get_train_step(spec_augment_on)
         batches = self.batcher.build_batches(epoch)
         rng = np.random.default_rng(cfg.seed + epoch)
         step_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
         accum = max(1, cfg.gradient_accumulation_steps)
-        sums: Dict[str, float] = {}
-        n_steps = 0
+        scan_k = max(1, cfg.scan_steps)
+        self._epoch_sums: Dict[str, float] = {}
+        self._epoch_steps = 0
         interbatch_t0 = time.time()
+
+        # Stream: accumulate index-batches into optimizer-step groups, assemble
+        # each group to a padded batch dict, then stack runs of same-shape
+        # batches into lax.scan chunks of exactly scan_k steps.
+        pending: List[Dict[str, np.ndarray]] = []
+        pending_sig = None
+
+        def flush_pending():
+            nonlocal pending, pending_sig
+            while pending:
+                if len(pending) >= scan_k and scan_k > 1:
+                    chunk, pending = pending[:scan_k], pending[scan_k:]
+                    stacked = {
+                        k: np.stack([c[k] for c in chunk]) for k in chunk[0]
+                    }
+                    self._run_steps(stacked, scan_k, spec_augment_on)
+                else:
+                    batch, pending = pending[0], pending[1:]
+                    self._run_steps(batch, 1, spec_augment_on)
+            pending_sig = None
 
         group: List[List[int]] = []
         for b_idx, batch_indices in enumerate(batches):
@@ -318,37 +348,63 @@ class KokoroTrainer:
             is_last = b_idx == len(batches) - 1
             if len(group) < accum and not is_last:
                 continue
-
             batch = self._assemble(group, rng)
             group = []
-            step_rng, sub = jax.random.split(step_rng)
-            self.state, metrics = train_step(self.state, batch, sub)
-            n_steps += 1
+            sig = tuple(sorted((k, v.shape) for k, v in batch.items()))
+            if pending_sig is not None and sig != pending_sig:
+                flush_pending()
+            pending.append(batch)
+            pending_sig = sig
+            if len(pending) >= scan_k:
+                flush_pending()
+        flush_pending()
 
-            step = int(self.state.opt_step)
-            if step % cfg.log_every_steps == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
-                    self.writer.add_scalar(f"loss/{k}", host[k], step)
-                self.writer.add_scalar("stats/grad_norm", host["grad_norm"], step)
-                self.writer.add_scalar(
-                    "stats/grad_norm_clipped", host["grad_norm_clipped"], step
-                )
-                self._log_lrs(step)
-                if host["stepped"] == 0.0:
-                    logger.warning(
-                        "Step skipped (non-finite gradients) at opt step %d", step
-                    )
-            for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
-                sums[k] = sums.get(k, 0.0) + float(metrics[k])
-
+        # consume the epoch's rng stream deterministically per step
+        del step_rng
+        n_steps = self._epoch_steps
         elapsed = time.time() - interbatch_t0
         if cfg.enable_interbatch_profiling:
             logger.info(
                 "Epoch %d: %d optimizer steps in %.1fs (%.2f steps/s)",
                 epoch + 1, n_steps, elapsed, n_steps / max(elapsed, 1e-9),
             )
-        return {k: v / max(n_steps, 1) for k, v in sums.items()}
+        return {
+            k: v / max(n_steps, 1) for k, v in self._epoch_sums.items()
+        }
+
+    def _run_steps(
+        self, batch: Dict[str, np.ndarray], scan_k: int, spec_augment: bool
+    ) -> None:
+        """Execute 1 or scan_k optimizer steps and log their metrics."""
+        cfg = self.config
+        self._step_seq = getattr(self, "_step_seq", 0) + 1
+        sub = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed + 1), self._step_seq
+        )
+        fn = self._get_train_step(spec_augment, scan_k)
+        self.state, metrics = fn(self.state, batch, sub)
+        host = jax.device_get(metrics)  # one bulk transfer, not one per metric
+        base_step = int(self.state.opt_step) - scan_k
+        for i in range(scan_k):
+            step = base_step + i + 1
+            get = (lambda k: float(host[k][i])) if scan_k > 1 else (
+                lambda k: float(host[k])
+            )
+            self._epoch_steps += 1
+            for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                self._epoch_sums[k] = self._epoch_sums.get(k, 0.0) + get(k)
+            if step % cfg.log_every_steps == 0:
+                for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                    self.writer.add_scalar(f"loss/{k}", get(k), step)
+                self.writer.add_scalar("stats/grad_norm", get("grad_norm"), step)
+                self.writer.add_scalar(
+                    "stats/grad_norm_clipped", get("grad_norm_clipped"), step
+                )
+                self._log_lrs(step)
+                if get("stepped") == 0.0:
+                    logger.warning(
+                        "Step skipped (non-finite gradients) at opt step %d", step
+                    )
 
     def _assemble(
         self, group: List[List[int]], rng: np.random.Generator
