@@ -241,8 +241,17 @@ class KokoroTrainer:
 
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
-            train_metrics = self.train_epoch(epoch)
+            if cfg.enable_profiling and epoch == cfg.profile_epoch_start:
+                # device trace of one epoch (reference trainer.py:200,1027-1061
+                # torch.profiler -> jax.profiler; view with TensorBoard/Perfetto)
+                from kokoro_tpu.utils.profiling import trace
+
+                with trace(self.output_dir / "profiler_logs"):
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             epoch_time = time.time() - t0
+            self._log_weight_histograms(epoch)
             step = int(self.state.opt_step)
             self.writer.add_scalar("loss/train_total_epoch", train_metrics["total"], step)
             self.writer.add_scalar("loss/train_mel_epoch", train_metrics["mel"], step)
@@ -464,13 +473,18 @@ class KokoroTrainer:
         rng = np.random.default_rng(0)
         sums: Dict[str, float] = {}
         n = 0
+        first_batch = None
         for indices in self.val_batcher.build_batches(0):
             feats = [self.val_dataset.get_features(i, rng) for i in indices]
             batch = collate(feats, cfg)
+            if first_batch is None:
+                first_batch = batch
             metrics = self.eval_step(self.state.ema_params, batch)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
+        if first_batch is not None:
+            self._log_val_spectrograms(first_batch)
         avg = {k: v / max(n, 1) for k, v in sums.items()}
         step = int(self.state.opt_step)
         for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
@@ -512,6 +526,63 @@ class KokoroTrainer:
             "Resumed at epoch %d (opt step %d, best val %.4f)",
             self.start_epoch, int(self.state.opt_step), self.best_val_loss,
         )
+
+    def _log_val_spectrograms(self, batch: Dict[str, np.ndarray]) -> None:
+        """Predicted vs ground-truth validation spectrogram images
+        (reference trainer.py:1841-1842)."""
+        if not hasattr(self.writer, "add_image"):
+            return
+        try:
+            from kokoro_tpu.training.train_step import make_loss_fn  # noqa: F401
+
+            text_pad = (
+                np.arange(batch["phoneme_indices"].shape[1])[None, :]
+                >= batch["phoneme_lengths"][:, None]
+            )
+            out = self.model.apply(
+                self.state.ema_params,
+                phoneme_indices=batch["phoneme_indices"][:1],
+                mel_specs=batch["mel_specs"][:1],
+                phoneme_durations=batch["phoneme_durations"][:1],
+                stress_indices=batch["stress_indices"][:1],
+                text_padding_mask=text_pad[:1],
+                pitch_targets=batch["pitch_targets"][:1],
+                energy_targets=batch["energy_targets"][:1],
+                deterministic=True,
+            )
+            step = int(self.state.opt_step)
+            t = int(batch["mel_lengths"][0])
+
+            def to_img(mel: np.ndarray) -> np.ndarray:
+                mel = np.asarray(mel, np.float32).T  # (n_mels, T)
+                lo, hi = mel.min(), mel.max()
+                return ((mel - lo) / max(hi - lo, 1e-6))[None]  # CHW
+
+            self.writer.add_image(
+                "spectrogram/val_predicted",
+                to_img(out["predicted_mel"][0, :t]), step,
+            )
+            self.writer.add_image(
+                "spectrogram/val_ground_truth",
+                to_img(batch["mel_specs"][0, :t]), step,
+            )
+        except Exception as err:  # images are best-effort observability
+            logger.debug("val spectrogram logging failed: %s", err)
+
+    def _log_weight_histograms(self, epoch: int) -> None:
+        """Per-epoch parameter histograms (reference trainer.py:1758-1769)."""
+        if not hasattr(self.writer, "add_histogram"):
+            return
+        try:
+            import numpy as _np
+
+            flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+            step = int(self.state.opt_step)
+            for path, value in flat[:64]:
+                name = jax.tree_util.keystr(path).replace("']['", "/").strip("[']")
+                self.writer.add_histogram(f"weights/{name}", _np.asarray(value), step)
+        except Exception as err:  # histograms are best-effort observability
+            logger.debug("weight histogram logging failed: %s", err)
 
     def _report_cache_stats(self) -> None:
         stats = self.train_dataset.cache_stats()
