@@ -29,6 +29,12 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--no-gradient-checkpointing", action="store_true")
     g.add_argument("--precompute-features", action="store_true")
     g.add_argument("--compute-dtype", choices=("bfloat16", "float32"), default=None)
+    g.add_argument(
+        "--profile-dtypes", action="store_true",
+        help="benchmark bf16 vs fp32 step time before training and pick the "
+        "faster (replaces the reference's --profile-amp; AMP does not exist "
+        "on TPU)",
+    )
     g.add_argument("--save-every", type=int, default=None)
     g.add_argument("--early-stopping-patience", type=int, default=None)
     g.add_argument("--verbose", action="store_true")

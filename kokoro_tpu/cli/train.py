@@ -31,6 +31,17 @@ def main() -> int:
 
         precompute_features(config)
 
+    if getattr(args, "profile_dtypes", False):
+        # pre-train bf16-vs-fp32 A/B (reference cli/training.py:49-73
+        # --profile-amp workflow; AMP has no TPU analogue)
+        from kokoro_tpu.utils.profiling import profile_dtype_for_config
+
+        best = profile_dtype_for_config(config)
+        logging.getLogger(__name__).info(
+            "dtype profile selected compute_dtype=%s", best
+        )
+        config.compute_dtype = best
+
     from kokoro_tpu.training.trainer import train_model
 
     result = train_model(config)

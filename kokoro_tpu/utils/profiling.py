@@ -142,6 +142,76 @@ def profile_step_fn(
     }
 
 
+def profile_dtype_for_config(config, n_steps: int = 5) -> str:
+    """Pre-train bf16-vs-fp32 A/B on the configured model; returns the faster
+    compute dtype (the reference's --profile-amp workflow,
+    reference cli/training.py:49-73, trainer.py:3442-3507)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kokoro_tpu.models.kokoro import KokoroModel
+    from kokoro_tpu.training.optimizer import build_optimizer, build_preclip_tree
+    from kokoro_tpu.training.train_step import (
+        create_train_state,
+        init_params,
+        make_train_step,
+    )
+
+    B, L, T = 8, 64, 512
+    rng = np.random.default_rng(0)
+    batch = {
+        "phoneme_indices": jnp.asarray(rng.integers(1, 60, (B, L)), jnp.int32),
+        "stress_indices": jnp.asarray(rng.integers(0, 3, (B, L)), jnp.int32),
+        "phoneme_durations": jnp.asarray(np.full((B, L), T // L, np.int32)),
+        "mel_specs": jnp.asarray(
+            rng.normal(size=(B, T, config.n_mels)).astype(np.float32)
+        ),
+        "pitch_targets": jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32)),
+        "energy_targets": jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32)),
+        "stop_token_targets": jnp.zeros((B, T), jnp.float32),
+        "mel_lengths": jnp.full((B,), T, jnp.int32),
+        "phoneme_lengths": jnp.full((B,), L, jnp.int32),
+    }
+
+    def make_step(dtype_str: str):
+        cfg = dataclasses.replace(config, compute_dtype=dtype_str)
+        model = KokoroModel(
+            vocab_size=64,
+            n_mels=cfg.n_mels,
+            hidden_dim=cfg.hidden_dim,
+            n_encoder_layers=cfg.n_encoder_layers,
+            n_decoder_layers=cfg.n_decoder_layers,
+            n_heads=cfg.n_heads,
+            encoder_ff_dim=cfg.encoder_ff_dim,
+            decoder_ff_dim=cfg.decoder_ff_dim,
+            qk_norm=cfg.qk_norm,
+            gradient_checkpointing=False,
+            use_stochastic_depth=False,
+            dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_str],
+        )
+        key = jax.random.PRNGKey(0)
+        params = init_params(model, key, batch)
+        opt = build_optimizer(cfg, params, 1000)
+        state = create_train_state(model, cfg, opt, key, batch, params=params)
+        step = jax.jit(
+            make_train_step(model, cfg, opt, build_preclip_tree(params, cfg), 0.999)
+        )
+
+        def run(s=state):
+            new_state, metrics = step(s, batch, key)
+            _ = float(metrics["total"])  # value fetch = true device barrier
+            return new_state
+
+        return run, ()
+
+    results = compare_dtype_policies(make_step, n_steps=n_steps)
+    return (
+        "bfloat16" if results["speedup_bf16"]["value"] >= 1.0 else "float32"
+    )
+
+
 def compare_dtype_policies(
     make_step: Callable[[str], tuple], n_steps: int = 10
 ) -> Dict[str, Dict[str, float]]:
