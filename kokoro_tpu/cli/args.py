@@ -38,6 +38,17 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--save-every", type=int, default=None)
     g.add_argument("--early-stopping-patience", type=int, default=None)
     g.add_argument("--verbose", action="store_true")
+    d = parser.add_argument_group("data parallelism (TPU)")
+    d.add_argument(
+        "--mesh-shape", default=None,
+        help="comma-separated data-parallel mesh shape, e.g. '8'. Default: "
+        "all visible devices (single-device when only one is visible)",
+    )
+    d.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host training: call jax.distributed.initialize() and feed "
+        "each process its shard of the global batch",
+    )
 
 
 def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
@@ -76,4 +87,10 @@ def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
         overrides["precompute_features"] = True
     if args.verbose:
         overrides["verbose"] = True
+    if getattr(args, "mesh_shape", None):
+        overrides["mesh_shape"] = tuple(
+            int(x) for x in str(args.mesh_shape).split(",") if x.strip()
+        )
+    if getattr(args, "distributed", False):
+        overrides["distributed_init"] = True
     return TrainingConfig(**overrides)

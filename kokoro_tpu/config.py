@@ -205,6 +205,9 @@ class TrainingConfig:
     # --- TPU-native surface (no reference counterpart; SURVEY.md §2.9/5.8) ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None -> (jax.device_count(),)
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # Multi-host (DCN): call jax.distributed.initialize() before building the
+    # mesh; each process then feeds its contiguous block of the global batch.
+    distributed_init: bool = False
     compute_dtype: str = "bfloat16"                # matmul/activation dtype
     param_dtype: str = "float32"                   # parameter dtype
     donate_state: bool = True

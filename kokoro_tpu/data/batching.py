@@ -148,6 +148,8 @@ def collate(
     features: List[Dict],
     config: TrainingConfig,
     pad_batch_to: Optional[int] = None,
+    pad_mel_to: Optional[int] = None,
+    pad_phoneme_to: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of per-utterance feature dicts to static bucket shapes.
 
@@ -156,11 +158,25 @@ def collate(
     ``pad_batch_to`` (padding rows have zero lengths, fully masked out by the
     loss — same masking semantics as the reference's collate_fn zero padding,
     reference dataset.py:871-922).
+
+    ``pad_mel_to`` / ``pad_phoneme_to`` force the pre-bucketing sequence dims.
+    Multi-host data parallelism needs this: every process must produce the
+    SAME padded shapes without seeing the other processes' features, so the
+    dims come from host-side length metadata instead of the local maxima.
+    When forced, longer local samples are clipped (same truncation semantics
+    as the reference's max_seq_length cap).  An empty ``features`` list (a
+    process whose block is pure padding) is valid only with forced dims.
     """
     B = len(features)
     out_B = max(B, pad_batch_to or B)
-    mel_max = max(int(f["mel_length"]) for f in features)
-    phon_max = max(int(f["phoneme_length"]) for f in features)
+    if not features and (pad_mel_to is None or pad_phoneme_to is None):
+        raise ValueError("empty collate requires pad_mel_to and pad_phoneme_to")
+    mel_max = max((int(f["mel_length"]) for f in features), default=1)
+    phon_max = max((int(f["phoneme_length"]) for f in features), default=1)
+    if pad_mel_to is not None:
+        mel_max = pad_mel_to
+    if pad_phoneme_to is not None:
+        phon_max = pad_phoneme_to
     T = _bucket_up(mel_max, config.mel_bucket_sizes)
     L = _bucket_up(phon_max, config.phoneme_bucket_sizes)
     M = config.n_mels

@@ -10,13 +10,25 @@ optimizer step on GLOBAL quantities.
 from kokoro_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    global_batch_from_local,
+    make_sharded_eval_step,
     make_sharded_train_step,
+    mesh_size,
+    process_local_rows,
+    put_batch,
+    round_up_to_multiple,
     shard_batch,
 )
 
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "global_batch_from_local",
+    "make_sharded_eval_step",
     "make_sharded_train_step",
+    "mesh_size",
+    "process_local_rows",
+    "put_batch",
+    "round_up_to_multiple",
     "shard_batch",
 ]

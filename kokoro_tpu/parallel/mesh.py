@@ -1,7 +1,7 @@
 """Device mesh + sharding for data-parallel training.
 
 Design (SURVEY.md §5.8): a 1-D ``data`` mesh over all chips; the batch is
-sharded on its leading batch dimension, parameters and optimizer state are
+sharded on its batch dimension, parameters and optimizer state are
 replicated.  The train step is a single ``jax.jit`` with explicit in/out
 shardings — XLA partitions the einsums and inserts the gradient all-reduce
 over ICI itself (the scaling-book recipe: pick a mesh, annotate shardings,
@@ -9,7 +9,20 @@ let XLA insert collectives).
 
 Gradient semantics match the reference exactly: the loss is a masked MEAN over
 the global batch, so the XLA-inserted reduction reproduces single-device
-numbers regardless of device count (verified in tests/unit/test_parallel.py).
+numbers regardless of device count (verified at step level in
+tests/unit/test_train_step.py and at trainer level in
+tests/unit/test_parallel.py).
+
+Batch dicts may carry up to two leading stacking axes in front of the batch
+dimension — a ``lax.scan`` multi-step axis (K) and/or a gradient-accumulation
+axis (A) — so the batch axis is located per key from its known number of
+trailing feature dims, not by ndim alone.
+
+Multi-host (DCN): each process materializes only its contiguous block of the
+global batch (``process_local_rows``) and ``global_batch_from_local`` builds
+the sharded global arrays via ``jax.make_array_from_process_local_data``
+(SURVEY.md §5.8: host-sharded input pipeline).  ``jax.distributed.initialize``
+is called by the trainer when ``config.distributed_init`` is set.
 """
 
 from __future__ import annotations
@@ -21,6 +34,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kokoro_tpu.config import TrainingConfig
+
+# Number of trailing per-sample feature dims for each batch key; the batch
+# axis of an array is ``ndim - 1 - trailing`` (leading axes, if any, are
+# scan/accumulation stacking axes).
+_TRAILING_DIMS: Dict[str, int] = {
+    "mel_specs": 2,          # (..., B, T, n_mels)
+    "phoneme_indices": 1,    # (..., B, L)
+    "stress_indices": 1,
+    "phoneme_durations": 1,
+    "pitch_targets": 1,      # (..., B, T)
+    "energy_targets": 1,
+    "stop_token_targets": 1,
+    "mel_lengths": 0,        # (..., B)
+    "phoneme_lengths": 0,
+}
 
 
 def create_mesh(
@@ -41,9 +69,25 @@ def create_mesh(
     return Mesh(dev_array, names)
 
 
+def mesh_size(mesh: Mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
+
+
+def batch_axis_index(key: str, ndim: int) -> int:
+    """Index of the batch axis for a batch-dict entry of the given rank."""
+    trailing = _TRAILING_DIMS.get(key, ndim - 1)
+    return max(ndim - 1 - trailing, 0)
+
+
+def batch_pspec(key: str, ndim: int, axis_name: str = "data") -> P:
+    """PartitionSpec sharding the batch axis, replicating everything else."""
+    b = batch_axis_index(key, ndim)
+    return P(*([None] * b), axis_name)
+
+
 def batch_sharding(mesh: Mesh, has_accum_axis: bool = False) -> NamedSharding:
-    """Shard the per-step batch dim over 'data'.  With a leading gradient-
-    accumulation axis the batch dim is axis 1."""
+    """Sharding for a mel-like array (kept for API compatibility; prefer
+    ``shard_batch`` which handles every key and any stacking depth)."""
     if has_accum_axis:
         return NamedSharding(mesh, P(None, "data"))
     return NamedSharding(mesh, P("data"))
@@ -55,11 +99,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch dimension."""
-    has_accum = batch["mel_specs"].ndim == 4
-    sharding = batch_sharding(mesh, has_accum)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    return {
+        k: jax.device_put(
+            v, NamedSharding(mesh, batch_pspec(k, np.ndim(v)))
+        )
+        for k, v in batch.items()
+    }
+
+
+def process_local_rows(global_rows: int) -> slice:
+    """This process's contiguous block of the global batch dimension.
+
+    The 1-D mesh enumerates devices in ``jax.devices()`` order, which groups
+    devices by process, so contiguous row blocks line up with each host's
+    device shards."""
+    count = jax.process_count()
+    if global_rows % count:
+        raise ValueError(
+            f"global batch rows ({global_rows}) not divisible by process "
+            f"count ({count})"
+        )
+    local = global_rows // count
+    lo = jax.process_index() * local
+    return slice(lo, lo + local)
+
+
+def global_batch_from_local(
+    batch: Dict[str, Any], mesh: Mesh
+) -> Dict[str, Any]:
+    """Multi-host batch placement: each process holds only its row block of
+    the global batch; assemble the sharded global arrays across DCN."""
+    count = jax.process_count()
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        axis = batch_axis_index(k, v.ndim)
+        sharding = NamedSharding(mesh, batch_pspec(k, v.ndim))
+        global_shape = list(v.shape)
+        global_shape[axis] = v.shape[axis] * count
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, tuple(global_shape)
+        )
+    return out
+
+
+def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
+    """Single entry point the trainer uses: no-op without a mesh, sharded
+    device_put single-host, cross-process assembly multi-host."""
+    if mesh is None:
+        return batch
+    if jax.process_count() > 1:
+        return global_batch_from_local(batch, mesh)
+    return shard_batch(batch, mesh)
+
+
+def round_up_to_multiple(n: int, multiple: int) -> int:
+    return -(-n // max(multiple, 1)) * max(multiple, 1)
 
 
 def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
@@ -80,3 +175,14 @@ def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def make_sharded_eval_step(eval_step, mesh: Mesh):
+    """jit the eval step over the mesh: params replicated, batch data-sharded
+    (sharding supplied by ``put_batch``), metrics replicated."""
+    rep = replicated(mesh)
+
+    def _sharded(params, batch):
+        return eval_step(params, batch)
+
+    return jax.jit(_sharded, in_shardings=(rep, None), out_shardings=rep)

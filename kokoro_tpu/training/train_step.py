@@ -337,14 +337,13 @@ def make_multi_step(train_step, num_steps: int):
 
 
 def make_eval_step(model: KokoroModel, config: TrainingConfig):
-    """Validation step on EMA params (reference trainer.py:1771-1910)."""
-    loss_fn = make_loss_fn(model, config)
+    """Validation step on EMA params (reference trainer.py:1771-1910).
+
+    ONE model forward computes the losses AND the extra validation metrics
+    (spectral convergence, F0 RMSE) from the same outputs."""
+    from kokoro_tpu.training.losses import f0_rmse, spectral_convergence
 
     def eval_step(params, batch):
-        _, losses = loss_fn(params, batch, jax.random.PRNGKey(0), deterministic=True)
-        # extra validation metrics
-        from kokoro_tpu.training.losses import f0_rmse, spectral_convergence
-
         text_pad, mel_pad = _batch_masks(batch)
         out = model.apply(
             params,
@@ -357,6 +356,28 @@ def make_eval_step(model: KokoroModel, config: TrainingConfig):
             pitch_targets=batch.get("pitch_targets"),
             energy_targets=batch.get("energy_targets"),
             deterministic=True,
+        )
+        losses = calculate_training_losses(
+            predicted_mel=out["predicted_mel"],
+            predicted_log_durations=out["predicted_log_durations"],
+            predicted_stop_logits=out["predicted_stop_logits"],
+            mel_specs=batch["mel_specs"],
+            phoneme_durations=batch["phoneme_durations"],
+            stop_token_targets=batch["stop_token_targets"],
+            mel_lengths=batch["mel_lengths"],
+            phoneme_lengths=batch["phoneme_lengths"],
+            predicted_pitch=out["predicted_pitch"],
+            predicted_energy=out["predicted_energy"],
+            pitch_targets=batch.get("pitch_targets"),
+            energy_targets=batch.get("energy_targets"),
+            duration_loss_weight=config.duration_loss_weight,
+            stop_token_loss_weight=config.stop_token_loss_weight,
+            pitch_loss_weight=config.pitch_loss_weight,
+            energy_loss_weight=config.energy_loss_weight,
+            stop_token_pos_weight=config.stop_token_pos_weight,
+            duration_huber_delta=config.duration_huber_delta,
+            pitch_huber_delta=config.pitch_huber_delta,
+            energy_huber_delta=config.energy_huber_delta,
         )
         mel_mask = ~mel_pad
         metrics = dict(losses)

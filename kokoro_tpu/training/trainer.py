@@ -37,6 +37,15 @@ from kokoro_tpu.data.dataset import RuslanDataset, train_val_split
 from kokoro_tpu.data.mfa import MFAIntegration
 from kokoro_tpu.data.phonemes import RussianPhonemeProcessor
 from kokoro_tpu.models.kokoro import KokoroModel
+from kokoro_tpu.parallel.mesh import (
+    create_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    mesh_size,
+    put_batch,
+    replicated,
+    round_up_to_multiple,
+)
 from kokoro_tpu.training.checkpoint import CheckpointManager, build_model_metadata
 from kokoro_tpu.training.optimizer import (
     build_optimizer,
@@ -86,6 +95,7 @@ def _make_writer(logdir: Path):
 class KokoroTrainer:
     def __init__(self, config: TrainingConfig):
         self.config = config
+        self._setup_mesh()
         self.output_dir = Path(config.output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.writer = _make_writer(self.output_dir / "logs")
@@ -100,6 +110,49 @@ class KokoroTrainer:
         self.best_val_epoch = -1
         self.epochs_without_improvement = 0
         self.start_epoch = 0
+
+    # ------------------------------------------------------------------
+    def _setup_mesh(self) -> None:
+        """Data-parallel mesh over all chips (SURVEY.md §2.9/§5.8).
+
+        The reference is single-device; DP is the framework's new first-class
+        component.  With >1 device (or an explicit ``mesh_shape``) every train
+        and eval step runs under explicit shardings: batch split on 'data',
+        state replicated.  Multi-host (DCN) requires ``distributed_init``."""
+        cfg = self.config
+        if cfg.distributed_init and jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+                logger.info(
+                    "jax.distributed initialized: process %d/%d",
+                    jax.process_index(), jax.process_count(),
+                )
+            except Exception as err:
+                logger.warning("jax.distributed.initialize failed: %s", err)
+        want = (
+            int(np.prod(cfg.mesh_shape))
+            if cfg.mesh_shape is not None
+            else jax.device_count()
+        )
+        if cfg.mesh_shape is not None or want > 1:
+            self.mesh = create_mesh(cfg)
+            self.dp_size = mesh_size(self.mesh)
+        else:
+            self.mesh = None
+            self.dp_size = 1
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        if self.dp_size > 1:
+            logger.info(
+                "Data parallelism: %d-way mesh over %s devices (%d process%s)",
+                self.dp_size, jax.devices()[0].platform, self.process_count,
+                "es" if self.process_count > 1 else "",
+            )
+
+    def _replicate_state(self) -> None:
+        """Commit the train state to the mesh, fully replicated."""
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
 
     # ------------------------------------------------------------------
     def _setup_datasets(self) -> None:
@@ -219,8 +272,13 @@ class KokoroTrainer:
         )
         preclips = build_preclip_tree(params, cfg)
         self._preclips = preclips
-        self._train_step_cache: Dict[bool, Any] = {}
-        self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self._train_step_cache: Dict[Any, Any] = {}
+        eval_fn = make_eval_step(self.model, cfg)
+        if self.mesh is not None:
+            self.eval_step = make_sharded_eval_step(eval_fn, self.mesh)
+        else:
+            self.eval_step = jax.jit(eval_fn)
+        self._replicate_state()
         self.metadata = build_model_metadata(
             cfg, self.phoneme_processor.get_vocab_size()
         )
@@ -312,9 +370,14 @@ class KokoroTrainer:
                 from kokoro_tpu.training.train_step import make_multi_step
 
                 step = make_multi_step(step, scan_steps)
-            self._train_step_cache[key] = jax.jit(
-                step, donate_argnums=(0,) if cfg.donate_state else (),
-            )
+            if self.mesh is not None:
+                self._train_step_cache[key] = make_sharded_train_step(
+                    step, self.mesh, donate_state=cfg.donate_state
+                )
+            else:
+                self._train_step_cache[key] = jax.jit(
+                    step, donate_argnums=(0,) if cfg.donate_state else (),
+                )
         return self._train_step_cache[key]
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -386,12 +449,16 @@ class KokoroTrainer:
     ) -> None:
         """Execute 1 or scan_k optimizer steps and log their metrics."""
         cfg = self.config
+        # _step_seq is the dropout/SpecAugment RNG stream position; it is
+        # persisted in checkpoint counters so a resumed run continues the
+        # stream instead of replaying it from zero.
         self._step_seq = getattr(self, "_step_seq", 0) + 1
         sub = jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed + 1), self._step_seq
         )
         fn = self._get_train_step(spec_augment, scan_k)
-        self.state, metrics = fn(self.state, batch, sub)
+        device_batch = put_batch(batch, self.mesh)
+        self.state, metrics = fn(self.state, device_batch, sub)
         host = jax.device_get(metrics)  # one bulk transfer, not one per metric
         base_step = int(self.state.opt_step) - scan_k
         for i in range(scan_k):
@@ -419,16 +486,44 @@ class KokoroTrainer:
         self, group: List[List[int]], rng: np.random.Generator
     ) -> Dict[str, np.ndarray]:
         """Collate a group of index-batches into one (A, B, ...) or (B, ...)
-        batch dict with shared static bucket shapes."""
+        batch dict with shared static bucket shapes.
+
+        With data parallelism the batch dim rounds up to a multiple of the
+        mesh size (padding rows are fully masked — global-batch loss masking
+        per reference trainer.py:2823-3004 is preserved because every loss is
+        a masked mean).  Multi-host: each process materializes only its
+        contiguous row block, with sequence dims forced from host-side length
+        metadata so all processes pad identically."""
+        cfg = self.config
+        out_B = round_up_to_multiple(max(len(g) for g in group), self.dp_size)
+        forced_T = forced_L = None
+        if self.process_count > 1:
+            est = [self.train_dataset.lengths(i) for g in group for i in g]
+            forced_T = max(t for t, _ in est)
+            forced_L = max(l for _, l in est)
+            if cfg.use_speed_perturbation:
+                # perturbation can lengthen audio by up to 1/(1-range)
+                forced_T = int(forced_T / max(1.0 - cfg.speed_perturb_range, 0.5)) + 2
+            forced_T = min(forced_T, cfg.max_seq_length)
+            local_B = out_B // self.process_count
+            lo = self.process_index * local_B
+            group = [g[lo : lo + local_B] for g in group]
+            out_B = local_B
         all_feats = [
             [self.train_dataset.get_features(i, rng) for i in indices]
             for indices in group
         ]
         if len(all_feats) == 1:
-            return collate(all_feats[0], self.config)
-        max_b = max(len(f) for f in all_feats)
+            return collate(
+                all_feats[0], cfg, pad_batch_to=out_B,
+                pad_mel_to=forced_T, pad_phoneme_to=forced_L,
+            )
         collated = [
-            collate(f, self.config, pad_batch_to=max_b) for f in all_feats
+            collate(
+                f, cfg, pad_batch_to=out_B,
+                pad_mel_to=forced_T, pad_phoneme_to=forced_L,
+            )
+            for f in all_feats
         ]
         # unify mel/phoneme buckets across the group
         T = max(c["mel_specs"].shape[1] for c in collated)
@@ -474,12 +569,34 @@ class KokoroTrainer:
         sums: Dict[str, float] = {}
         n = 0
         first_batch = None
+        # Tail batches pad up to the full fixed size so every validation pass
+        # reuses ONE compiled shape per (mel, phoneme) bucket; padding rows are
+        # masked out of every metric.
+        val_B = round_up_to_multiple(cfg.batch_size, self.dp_size)
         for indices in self.val_batcher.build_batches(0):
+            forced_T = forced_L = None
+            if self.process_count > 1:
+                est = [self.val_dataset.lengths(i) for i in indices]
+                forced_T = min(max(t for t, _ in est), cfg.max_seq_length)
+                forced_L = max(l for _, l in est)
+                local_B = val_B // self.process_count
+                lo = self.process_index * local_B
+                indices = indices[lo : lo + local_B]
             feats = [self.val_dataset.get_features(i, rng) for i in indices]
-            batch = collate(feats, cfg)
+            batch = collate(
+                feats, cfg,
+                pad_batch_to=(
+                    val_B // self.process_count
+                    if self.process_count > 1
+                    else val_B
+                ),
+                pad_mel_to=forced_T, pad_phoneme_to=forced_L,
+            )
             if first_batch is None:
                 first_batch = batch
-            metrics = self.eval_step(self.state.ema_params, batch)
+            metrics = self.eval_step(
+                self.state.ema_params, put_batch(batch, self.mesh)
+            )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -509,6 +626,7 @@ class KokoroTrainer:
             "skipped_steps": int(self.state.skipped_steps),
             "best_val_loss": self.best_val_loss,
             "best_val_epoch": self.best_val_epoch,
+            "step_seq": int(getattr(self, "_step_seq", 0)),
         }
 
     def _maybe_resume(self) -> None:
@@ -518,10 +636,13 @@ class KokoroTrainer:
         if result is None:
             return
         self.state, doc = result
+        self._replicate_state()
         counters = doc.get("counters", {})
         self.start_epoch = int(counters.get("epoch", -1)) + 1
         self.best_val_loss = float(counters.get("best_val_loss", float("inf")))
         self.best_val_epoch = int(counters.get("best_val_epoch", -1))
+        # continue the dropout/SpecAugment rng stream where it left off
+        self._step_seq = int(counters.get("step_seq", 0))
         logger.info(
             "Resumed at epoch %d (opt step %d, best val %.4f)",
             self.start_epoch, int(self.state.opt_step), self.best_val_loss,
@@ -578,7 +699,7 @@ class KokoroTrainer:
 
             flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
             step = int(self.state.opt_step)
-            for path, value in flat[:64]:
+            for path, value in flat:
                 name = jax.tree_util.keystr(path).replace("']['", "/").strip("[']")
                 self.writer.add_histogram(f"weights/{name}", _np.asarray(value), step)
         except Exception as err:  # histograms are best-effort observability
