@@ -1,7 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: training throughput in mel-frames/sec/chip on the flagship model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+``end_to_end`` / ``end_to_end_vs_baseline`` keys.
+
+Two measurements (VERDICT round-1 weak #1: "compute-only is a ceiling, not an
+epoch throughput"):
+
+* **compute-only** — K*N optimizer steps on one resident batch; the kernel
+  ceiling.
+* **end-to-end** — a REAL epoch over a synthetic RUSLAN-style corpus through
+  the full ``RuslanDataset -> FrameBudgetBatcher -> collate -> accumulation
+  stack -> scan-stacked jitted steps`` trainer path, including G2P, feature
+  cache reads, bucket churn and host assembly.  Timed on the second epoch
+  (feature cache warm — the reference's own epoch-speedup methodology,
+  reference docs/FEATURE_CACHING.md:128-144) over TRUE mel frames, not padded
+  frames.
 
 Baseline (BASELINE.md): the reference's MPS throughput is ~18k mel-frames/s
 (3.68 it/s x ~11 samples x ~440 frames, order-of-magnitude).  vs_baseline is
@@ -24,8 +38,86 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
+
+BASELINE_FRAMES_PER_SEC = 18000.0  # BASELINE.md derived MPS reference
+
+
+def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
+    """Synthetic RUSLAN-layout corpus: pipe-separated metadata + wavs/ with
+    1-6 s utterances (assorted lengths exercise the frame-budget packer)."""
+    from kokoro_tpu.data.audio_io import save_wav
+
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    words = [
+        "привет", "мир", "как", "дела", "всё", "хорошо", "говорит", "москва",
+        "сегодня", "завтра", "погода", "ясная", "ветер", "слабый", "дождь",
+        "вечером", "утром", "новости", "слушайте", "внимательно",
+    ]
+    lines = []
+    for i in range(n_utts):
+        dur_s = float(rng.uniform(1.0, 5.5))
+        n = int(22050 * dur_s)
+        t = np.arange(n) / 22050.0
+        f0 = rng.uniform(90, 220)
+        audio = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.15 * np.sin(
+            2 * np.pi * 2 * f0 * t
+        )
+        audio += 0.05 * rng.standard_normal(n)
+        audio = (audio / np.abs(audio).max()).astype(np.float32)
+        save_wav(wavs / f"b{i:04d}.wav", audio, 22050)
+        text = " ".join(rng.choice(words, size=int(2 + dur_s * 2)))
+        lines.append(f"b{i:04d}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+
+
+def bench_end_to_end(tmp_root: Path, n_utts: int = 192, **overrides) -> float:
+    """One real epoch through the trainer hot path; returns true mel-frames/s."""
+    from kokoro_tpu.config import get_high_performance_config
+    from kokoro_tpu.training.trainer import KokoroTrainer
+
+    corpus = tmp_root / "bench_corpus"
+    if not (corpus / "metadata.csv").exists():
+        _build_bench_corpus(corpus, n_utts=n_utts)
+    base = dict(
+        data_dir=str(corpus),
+        output_dir=str(tmp_root / "bench_out"),
+        num_epochs=2,
+        use_mfa=False,
+        use_speed_perturbation=False,  # perturbation bypasses the cache
+        validation_split=0.05,
+        validation_interval=10**9,     # never validate inside the bench
+        save_every=10**9,
+        log_every_steps=10**9,
+        warmup_steps=10,
+        # small closed bucket tables bound the number of distinct compiled
+        # shapes; with quantized batch dims the whole epoch compiles ~6-10
+        # programs (cached persistently in /tmp/jax_cache)
+        max_seq_length=512,
+        mel_bucket_sizes=(256, 384, 512),
+        phoneme_bucket_sizes=(48, 96),
+        histogram_every_steps=0,
+        scan_steps=4,
+    )
+    base.update(overrides)
+    cfg = get_high_performance_config(**base)
+    trainer = KokoroTrainer(cfg)
+    # Epoch 0: populate the feature cache + compile every bucket shape.
+    trainer.train_epoch(0)
+    # True (unpadded) frames in one epoch of the train split:
+    total_frames = sum(
+        trainer.train_dataset.lengths(i)[0]
+        for i in range(len(trainer.train_dataset))
+    )
+    t0 = time.perf_counter()
+    trainer.train_epoch(1)
+    _ = float(trainer.state.opt_step)  # value fetch = true device barrier
+    elapsed = time.perf_counter() - t0
+    return total_frames / elapsed
 
 
 def main() -> None:
@@ -117,14 +209,26 @@ def main() -> None:
     best = min(times)  # min-of-N: transport jitter only ever adds time
 
     frames_per_sec = B * T * K / best
-    baseline = 18000.0  # BASELINE.md: derived MPS reference, order-of-magnitude
+
+    # ---- end-to-end epoch over the real data pipeline ----
+    try:
+        e2e = bench_end_to_end(Path("/tmp/kokoro_bench"))
+    except Exception as err:  # never lose the compute-only number
+        import traceback
+
+        traceback.print_exc()
+        print(f"end-to-end bench failed: {err}", flush=True)
+        e2e = 0.0
+
     print(
         json.dumps(
             {
                 "metric": "train_mel_frames_per_sec_per_chip",
                 "value": round(frames_per_sec, 1),
                 "unit": "mel-frames/s",
-                "vs_baseline": round(frames_per_sec / baseline, 3),
+                "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+                "end_to_end": round(e2e, 1),
+                "end_to_end_vs_baseline": round(e2e / BASELINE_FRAMES_PER_SEC, 3),
             }
         )
     )

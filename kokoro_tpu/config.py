@@ -41,7 +41,11 @@ class TrainingConfig:
     use_warmup: bool = True
     warmup_steps: int = 1200          # optimizer steps, not batches
     warmup_start_lr_ratio: float = 0.01
-    final_lr_ratio: float = 0.01      # OneCycle floor as a fraction of peak
+    # Legacy CosineAnnealingWarmRestarts settings, used when use_onecycle_lr is
+    # False (reference config.py:89-92; trainer.py:779-790, stepped per EPOCH)
+    lr_T_0: int = 20
+    lr_T_mult: int = 2
+    lr_eta_min: float = 1.0e-6
 
     # Per-group LR multipliers (reference config.py:34-71)
     encoder_lr_multiplier: float = 0.65
@@ -69,6 +73,8 @@ class TrainingConfig:
     decoder_input_dropout: float = 0.15
     max_decoder_seq_len: int = 4000
     qk_norm: bool = True
+    # 'rope' (shipped default) or 'alibi' (reference transformers.py:150-165)
+    rel_pos_type: str = "rope"
     use_stochastic_depth: bool = True
     stochastic_depth_rate: float = 0.1
     ffn_output_norm: bool = True
@@ -158,9 +164,11 @@ class TrainingConfig:
     grad_explosion_final_floor: float = 1000.0
     emergency_clip_norm: float = 0.3
 
-    # Adaptive stabilization thresholds (reference trainer.py:2214-2254)
+    # Adaptive stabilization thresholds (reference trainer.py:2214-2254; the
+    # reference hardcodes 1400 frames / 150 duration with soft == hard, so only
+    # the hard branch's formula is observable)
     stabilization_soft_frames: int = 1400
-    stabilization_hard_frames: int = 1800
+    stabilization_max_duration: int = 150
     max_sequence_dim_cap: int = 2000
 
     # --- Checkpointing (reference config.py:289-291) ---
@@ -231,8 +239,16 @@ class TrainingConfig:
             )
         if self.hop_length <= 0:
             raise ValueError("hop_length must be a positive integer")
+        if self.rel_pos_type not in ("rope", "alibi"):
+            raise ValueError(
+                f"rel_pos_type must be 'rope' or 'alibi', got {self.rel_pos_type!r}"
+            )
         self.mel_bucket_sizes = tuple(sorted(self.mel_bucket_sizes))
         self.phoneme_bucket_sizes = tuple(sorted(self.phoneme_bucket_sizes))
+        # JSON round-trips lists; tuple fields must normalize for equality
+        self.mesh_axis_names = tuple(self.mesh_axis_names)
+        if self.mesh_shape is not None:
+            self.mesh_shape = tuple(self.mesh_shape)
         if self.mel_bucket_sizes and self.mel_bucket_sizes[-1] < self.max_seq_length:
             self.mel_bucket_sizes = self.mel_bucket_sizes + (self.max_seq_length,)
 

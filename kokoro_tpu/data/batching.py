@@ -177,8 +177,19 @@ def collate(
         mel_max = pad_mel_to
     if pad_phoneme_to is not None:
         phon_max = pad_phoneme_to
+    # Hard sequence-dim cap (reference trainer.py:2168-2184
+    # _cap_batch_sequence_dimensions, config.max_sequence_dim_cap): no batch
+    # tensor ever exceeds the cap; over-long samples truncate with clamped
+    # lengths.
+    cap = int(config.max_sequence_dim_cap)
+    if cap > 0:
+        mel_max = min(mel_max, cap)
+        phon_max = min(phon_max, cap)
     T = _bucket_up(mel_max, config.mel_bucket_sizes)
     L = _bucket_up(phon_max, config.phoneme_bucket_sizes)
+    if cap > 0:
+        T = min(T, cap)
+        L = min(L, cap)
     M = config.n_mels
 
     batch = {

@@ -34,6 +34,7 @@ from __future__ import annotations
 import logging
 import pickle
 import struct
+import time
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -198,11 +199,19 @@ class RuslanDataset:
         self.feature_cache_dir = Path(config.feature_cache_dir)
         if self.use_feature_cache:
             self.feature_cache_dir.mkdir(parents=True, exist_ok=True)
-        # bounded in-memory LRU (reference :106-121)
+        # bounded in-memory LRU: entry AND byte bounds with per-tier latency
+        # counters (reference :106-121)
         self._memory_cache: OrderedDict[str, Dict] = OrderedDict()
         self._memory_cache_max = 30000 if config.use_memory_cache else 0
+        self._memory_cache_max_bytes = 8192 * 1024 * 1024  # 8 GB (reference :109)
+        self._memory_cache_bytes = 0
+        self._entry_bytes: Dict[str, int] = {}
         self.cache_requests = 0
         self.cache_misses = 0
+        self.cache_mem_hits = 0
+        self.cache_disk_hits = 0
+        self._mem_latency_ns = 0
+        self._disk_latency_ns = 0
 
         self.samples = self._load_samples()
         if indices is not None:
@@ -305,9 +314,13 @@ class RuslanDataset:
         return self.feature_cache_dir / f"{stem}.npz"
 
     def _load_cached(self, stem: str) -> Optional[Dict]:
+        t0 = time.perf_counter_ns()
         if stem in self._memory_cache:
             self._memory_cache.move_to_end(stem)
-            return dict(self._memory_cache[stem])
+            out = dict(self._memory_cache[stem])
+            self.cache_mem_hits += 1
+            self._mem_latency_ns += time.perf_counter_ns() - t0
+            return out
         path = self._cache_path(stem)
         if not path.exists():
             return None
@@ -320,15 +333,34 @@ class RuslanDataset:
             logger.warning("Corrupt feature cache %s: %s", path, err)
             return None
         self._memory_put(stem, payload)
+        self.cache_disk_hits += 1
+        self._disk_latency_ns += time.perf_counter_ns() - t0
         return dict(payload)
+
+    @staticmethod
+    def _payload_bytes(payload: Dict) -> int:
+        return sum(
+            v.nbytes for v in payload.values() if isinstance(v, np.ndarray)
+        )
 
     def _memory_put(self, stem: str, payload: Dict) -> None:
         if self._memory_cache_max <= 0:
             return
+        if stem in self._memory_cache:
+            self._memory_cache_bytes -= self._entry_bytes.get(stem, 0)
+        size = self._payload_bytes(payload)
         self._memory_cache[stem] = payload
+        self._entry_bytes[stem] = size
+        self._memory_cache_bytes += size
         self._memory_cache.move_to_end(stem)
-        while len(self._memory_cache) > self._memory_cache_max:
-            self._memory_cache.popitem(last=False)
+        # evict LRU entries past either bound (reference :108-110: 30k entries
+        # AND an 8 GB byte budget)
+        while self._memory_cache and (
+            len(self._memory_cache) > self._memory_cache_max
+            or self._memory_cache_bytes > self._memory_cache_max_bytes
+        ):
+            old, _ = self._memory_cache.popitem(last=False)
+            self._memory_cache_bytes -= self._entry_bytes.pop(old, 0)
 
     def _save_cached(self, stem: str, payload: Dict) -> None:
         if not self.use_feature_cache:
@@ -353,6 +385,17 @@ class RuslanDataset:
                 else 0.0
             ),
             "memory_entries": len(self._memory_cache),
+            "memory_mb": self._memory_cache_bytes / (1024 * 1024),
+            "mem_hits": self.cache_mem_hits,
+            "disk_hits": self.cache_disk_hits,
+            "mem_latency_ms": (
+                self._mem_latency_ns / self.cache_mem_hits / 1e6
+                if self.cache_mem_hits else 0.0
+            ),
+            "disk_latency_ms": (
+                self._disk_latency_ns / self.cache_disk_hits / 1e6
+                if self.cache_disk_hits else 0.0
+            ),
         }
 
     # ------------------------------------------------------------------

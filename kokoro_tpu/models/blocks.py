@@ -112,6 +112,11 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     use_rope: bool = False
+    # ALiBi linear distance biases (reference transformers.py:150-165,283-296;
+    # slopes 2^(-8(i+1)/H)).  Alternative to RoPE — mutually exclusive.  The
+    # reference disables ALiBi on MPS and defaults to RoPE; here it is a fully
+    # supported option (no TPU dtype constraint).
+    use_alibi: bool = False
     qk_norm: bool = False
     # Use the pallas flash-attention kernel on the full-sequence path when the
     # shapes allow it AND attention-weight dropout is inactive (the kernel
@@ -229,6 +234,7 @@ class MultiHeadAttention(nn.Module):
         can_flash = (
             self.use_flash
             and kv_cache is None
+            and not self.use_alibi  # kernel has no bias input
             and (deterministic or self.dropout == 0.0)
             and _flash_supported(q.shape[2], k.shape[2], head_dim)
         )
@@ -248,6 +254,22 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
+
+        if self.use_alibi:
+            # slope_h * (k_pos - q_pos), negative toward the past
+            # (reference _get_alibi_bias, transformers.py:185-208)
+            slopes = jnp.asarray(
+                [2.0 ** (-8.0 * (i + 1) / self.num_heads)
+                 for i in range(self.num_heads)],
+                jnp.float32,
+            )
+            Tk = k.shape[2]
+            if kv_cache is not None:
+                q_pos = (kv_cache["index"] + jnp.arange(Tq)).astype(jnp.float32)
+            else:
+                q_pos = (jnp.arange(Tq) + (Tk - Tq)).astype(jnp.float32)
+            dist = jnp.arange(Tk, dtype=jnp.float32)[None, :] - q_pos[:, None]
+            logits = logits + slopes[None, :, None, None] * dist[None, None]
 
         if causal and kv_cache is None:
             Tk = k.shape[2]
@@ -312,6 +334,7 @@ class EncoderBlock(nn.Module):
     ffn_output_norm: bool = False
     attention_weight_dropout: bool = True
     use_flash: bool = False
+    rel_pos_type: str = "rope"  # 'rope' | 'alibi' (reference transformers.py:150)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -327,7 +350,9 @@ class EncoderBlock(nn.Module):
         h = nn.LayerNorm(name="norm1", **common)(x)
         attn_out, _ = MultiHeadAttention(
             self.d_model, self.num_heads, attn_p,
-            use_rope=True, qk_norm=self.qk_norm, use_flash=self.use_flash,
+            use_rope=self.rel_pos_type == "rope",
+            use_alibi=self.rel_pos_type == "alibi",
+            qk_norm=self.qk_norm, use_flash=self.use_flash,
             name="self_attn", **common,
         )(h, key_padding_mask=padding_mask, deterministic=deterministic)
         attn_out = drop_path(
@@ -363,6 +388,7 @@ class DecoderBlock(nn.Module):
     ffn_output_norm: bool = False
     attention_weight_dropout: bool = True
     use_flash: bool = False
+    rel_pos_type: str = "rope"  # 'rope' | 'alibi'; cross-attn is always absolute
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -374,7 +400,9 @@ class DecoderBlock(nn.Module):
         self.norm3 = nn.LayerNorm(name="norm3", **common)
         self.self_attn = MultiHeadAttention(
             self.d_model, self.num_heads, attn_p,
-            use_rope=True, qk_norm=self.qk_norm, use_flash=self.use_flash,
+            use_rope=self.rel_pos_type == "rope",
+            use_alibi=self.rel_pos_type == "alibi",
+            qk_norm=self.qk_norm, use_flash=self.use_flash,
             name="self_attn", **common,
         )
         self.cross_attn = MultiHeadAttention(

@@ -61,10 +61,18 @@ class KokoroModel(nn.Module):
     n_variance_bins: int = 256
     length_regulator_stop_gradient: bool = True
     gradient_checkpointing: bool = True
+    # Encoder remat granularity: the encoder stack remats in this many
+    # segments (reference model.py:251-312 checkpoints the encoder in
+    # config.checkpoint_segments sequential segments); the decoder always
+    # remats per-layer (reference transformers.py:636-648).
+    checkpoint_segments: int = 2
     # pallas flash attention on full-sequence paths; needs
     # attention_weight_dropout=False to stay active in training
     use_flash_attention: bool = False
     attention_weight_dropout: bool = True
+    # 'rope' (reference shipped default) or 'alibi' (reference
+    # transformers.py:150-165 option, MPS-disabled there, fully supported here)
+    rel_pos_type: str = "rope"
     # SpecAugment knobs (applied to encoder memory when a 'specaugment' rng is
     # provided and deterministic=False)
     use_spec_augment: bool = True
@@ -102,10 +110,10 @@ class KokoroModel(nn.Module):
         dec_block = DecoderBlock
         if self.gradient_checkpointing:
             # static_argnums index the bound call: arg 0 is the module itself.
-            # EncoderBlock(self, x, padding_mask, deterministic) -> 3
             # DecoderBlock(self, x, memory, mem_mask, tgt_mask, deterministic,
             #              self_kv_cache, cross_kv) -> 5
-            enc_block = nn.remat(EncoderBlock, static_argnums=(3,))
+            # Encoder blocks stay unwrapped: encode_text remats them in
+            # ``checkpoint_segments`` segments instead of per-layer.
             dec_block = nn.remat(DecoderBlock, static_argnums=(5,))
 
         self.encoder_layers = [
@@ -114,7 +122,8 @@ class KokoroModel(nn.Module):
                 self.encoder_dropout, drop_path_rate=r, qk_norm=self.qk_norm,
                 ffn_output_norm=self.ffn_output_norm,
                 attention_weight_dropout=self.attention_weight_dropout,
-                use_flash=self.use_flash_attention, name=f"encoder_layer_{i}",
+                use_flash=self.use_flash_attention,
+                rel_pos_type=self.rel_pos_type, name=f"encoder_layer_{i}",
                 **common,
             )
             for i, r in enumerate(rates(self.n_encoder_layers))
@@ -141,7 +150,8 @@ class KokoroModel(nn.Module):
                 self.decoder_dropout, drop_path_rate=r, qk_norm=self.qk_norm,
                 ffn_output_norm=self.ffn_output_norm,
                 attention_weight_dropout=self.attention_weight_dropout,
-                use_flash=self.use_flash_attention, name=f"decoder_layer_{i}",
+                use_flash=self.use_flash_attention,
+                rel_pos_type=self.rel_pos_type, name=f"decoder_layer_{i}",
                 **common,
             )
             for i, r in enumerate(rates(self.n_decoder_layers))
@@ -177,8 +187,28 @@ class KokoroModel(nn.Module):
             x = x + stress
         x = add_positional_encoding(x, 0)
         x = self.pe_dropout(x, deterministic=deterministic)
-        for layer in self.encoder_layers:
-            x = layer(x, padding_mask, deterministic)
+        n = len(self.encoder_layers)
+        if self.gradient_checkpointing and n:
+            # Segment-wise remat (reference model.py:274-312): the stack splits
+            # into ``checkpoint_segments`` chunks; each chunk is one remat unit
+            # (activations inside a chunk recompute in backward, chunk
+            # boundaries are saved).
+            segments = max(1, min(int(self.checkpoint_segments), n))
+            per = -(-n // segments)
+            for lo in range(0, n, per):
+                hi = min(lo + per, n)
+
+                def run_segment(mdl, h, mask, lo=lo, hi=hi):
+                    for layer in mdl.encoder_layers[lo:hi]:
+                        h = layer(h, mask, deterministic)
+                    return h
+
+                x = nn.remat(run_segment, prevent_cse=False)(
+                    self, x, padding_mask
+                )
+        else:
+            for layer in self.encoder_layers:
+                x = layer(x, padding_mask, deterministic)
         x = self.encoder_norm(x)
         return jnp.where(padding_mask[:, :, None], 0.0, x)
 

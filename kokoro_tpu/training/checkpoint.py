@@ -58,6 +58,7 @@ def build_model_metadata(
         "encoder_ff_dim": config.encoder_ff_dim,
         "decoder_ff_dim": config.decoder_ff_dim,
         "qk_norm": config.qk_norm,
+        "rel_pos_type": config.rel_pos_type,
         "ffn_output_norm": config.ffn_output_norm,
         "use_stress_embedding": config.use_stress_embedding,
         "use_variance_predictor": config.use_variance_predictor,

@@ -206,9 +206,15 @@ def build_preclip_tree(params, config: TrainingConfig):
 def make_group_schedule(
     config: TrainingConfig, total_steps: int, label: str
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Per-group LR as a function of the optimizer step."""
+    """Per-group LR as a function of the optimizer step.
+
+    ``use_onecycle_lr=False`` selects the reference's legacy
+    CosineAnnealingWarmRestarts mode (reference trainer.py:779-790): per-EPOCH
+    cosine cycles of T_0 epochs growing by T_mult, floor eta_min, no warmup."""
     mult = group_lr_multiplier(label, config)
     base_lr = config.learning_rate * mult
+    if not config.use_onecycle_lr:
+        return _make_warm_restarts_schedule(config, total_steps, base_lr)
     max_lr_multiplier = config.max_lr_multiplier
     max_lr = base_lr * max_lr_multiplier
     warmup = (
@@ -245,6 +251,38 @@ def make_group_schedule(
         if warmup == 0:
             return onecycle_lr
         return jnp.where(step < warmup, warmup_lr, onecycle_lr)
+
+    return schedule
+
+
+def _make_warm_restarts_schedule(
+    config: TrainingConfig, total_steps: int, base_lr: float
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CosineAnnealingWarmRestarts stepped per epoch (reference trainer.py:779,
+    ``scheduler_per_batch = False``): within a cycle of T_i epochs,
+    lr = eta_min + (base - eta_min) * (1 + cos(pi * T_cur / T_i)) / 2 with
+    T_i = T_0 * T_mult^n.  Cycle index via PyTorch's closed form."""
+    T_0 = max(int(config.lr_T_0), 1)
+    T_mult = max(int(config.lr_T_mult), 1)
+    eta_min = config.lr_eta_min
+    steps_per_epoch = max(total_steps // max(config.num_epochs, 1), 1)
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) / steps_per_epoch
+        if T_mult == 1:
+            t_cur = jnp.mod(epoch, T_0)
+            t_i = jnp.asarray(T_0, jnp.float32)
+        else:
+            # n = floor(log_Tmult(epoch/T_0 * (Tmult-1) + 1))
+            n = jnp.floor(
+                jnp.log(epoch / T_0 * (T_mult - 1) + 1.0) / math.log(T_mult)
+            )
+            cycle_start = T_0 * (T_mult**n - 1.0) / (T_mult - 1)
+            t_cur = epoch - cycle_start
+            t_i = T_0 * (float(T_mult) ** n)
+        return eta_min + (base_lr - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * t_cur / t_i)
+        ) / 2.0
 
     return schedule
 
@@ -408,7 +446,9 @@ def grad_explosion_threshold(
 
 
 def update_grad_explosion_state(
-    state: GradExplosionState, grad_norm: jnp.ndarray, decay: float = 0.95
+    state: GradExplosionState,
+    grad_norm: jnp.ndarray,
+    decay: float = 0.95,  # config.grad_explosion_ema_decay
 ) -> GradExplosionState:
     new_ema = jnp.where(
         state.num_steps == 0,

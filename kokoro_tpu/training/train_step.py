@@ -126,7 +126,10 @@ def adaptive_stabilization(
     """
     mel_len = jnp.max(batch["mel_lengths"]).astype(jnp.float32)
     max_dur = jnp.max(batch["phoneme_durations"]).astype(jnp.float32)
-    risk = jnp.maximum(mel_len / 1400.0, max_dur / 150.0)
+    risk = jnp.maximum(
+        mel_len / float(config.stabilization_soft_frames),
+        max_dur / float(config.stabilization_max_duration),
+    )
     # Soft and hard thresholds coincide at 1400/150 in the reference; the hard
     # branch overwrites the soft one, so only the hard formula is observable.
     loss_scale = jnp.where(risk > 1.0, jnp.maximum(0.25, 1.0 / risk), 1.0)
@@ -198,6 +201,50 @@ def make_loss_fn(
         return losses["total"], losses
 
     return loss_fn
+
+
+def make_diagnostic_step(model: KokoroModel, config: TrainingConfig):
+    """Jitted observability step: one deterministic forward + backward on a
+    single microbatch, returning (outputs, losses, grads).
+
+    Used every ``histogram_every_steps`` optimizer steps for gradient
+    histograms and train pred/GT spectrogram images (reference
+    trainer.py:2500-2537) — gradients live in-graph on TPU, so the logging
+    step re-derives them outside the fused train step."""
+    loss_fn = make_loss_fn(model, config, spec_augment=False)
+
+    def run_fwd(params, batch):
+        text_pad, mel_pad = _batch_masks(batch)
+        return model.apply(
+            params,
+            phoneme_indices=batch["phoneme_indices"],
+            mel_specs=batch["mel_specs"],
+            phoneme_durations=batch["phoneme_durations"],
+            stress_indices=batch.get("stress_indices"),
+            text_padding_mask=text_pad,
+            mel_padding_mask=mel_pad,
+            pitch_targets=batch.get("pitch_targets"),
+            energy_targets=batch.get("energy_targets"),
+            deterministic=True,
+        )
+
+    def diag(params, batch):
+        rng = jax.random.PRNGKey(0)  # unused: deterministic forward
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, deterministic=True
+        )
+        out = run_fwd(params, batch)
+        from kokoro_tpu.training.losses import spectral_convergence
+
+        _, mel_pad = _batch_masks(batch)
+        metrics = {
+            "spectral_convergence": spectral_convergence(
+                out["predicted_mel"], batch["mel_specs"], ~mel_pad
+            )
+        }
+        return out, dict(losses, **metrics), grads
+
+    return jax.jit(diag)
 
 
 def make_train_step(
@@ -279,6 +326,13 @@ def make_train_step(
         )
         new_params = optax.apply_updates(state.params, updates)
         new_params = apply_weight_norm_constraints(new_params, config)
+        # EMA every N successful steps (reference trainer.py:1500,
+        # config.ema_update_every); counter counts actual EMA updates.
+        every = max(int(config.ema_update_every), 1)
+        ema_due = (
+            jnp.mod(state.opt_step + 1, every) == 0 if every > 1
+            else jnp.asarray(True)
+        )
         new_ema = ema_update(state.ema_params, new_params, ema_decay)
 
         def merge(new, old):
@@ -286,13 +340,18 @@ def make_train_step(
                 lambda n, o: jnp.where(finite, n, o), new, old
             )
 
-        new_grad_state = update_grad_explosion_state(grad_state, raw_norm)
+        ema_step = finite & ema_due
+        new_grad_state = update_grad_explosion_state(
+            grad_state, raw_norm, config.grad_explosion_ema_decay
+        )
         next_state = TrainState(
             params=merge(new_params, state.params),
             opt_state=merge(new_opt_state, state.opt_state),
             opt_step=state.opt_step + finite.astype(jnp.int32),
-            ema_params=merge(new_ema, state.ema_params),
-            ema_updates=state.ema_updates + finite.astype(jnp.int32),
+            ema_params=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ema_step, n, o), new_ema, state.ema_params
+            ),
+            ema_updates=state.ema_updates + ema_step.astype(jnp.int32),
             grad_ema=jnp.where(finite, new_grad_state.ema_norm, state.grad_ema),
             grad_ema_steps=state.grad_ema_steps + finite.astype(jnp.int32),
             skipped_steps=state.skipped_steps + (1 - finite.astype(jnp.int32)),

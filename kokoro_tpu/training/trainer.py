@@ -83,6 +83,13 @@ class _JsonlWriter:
         self._f.close()
 
 
+def _mel_image(mel: np.ndarray) -> np.ndarray:
+    """(T, n_mels) log-mel -> min/max-normalized CHW image for TensorBoard."""
+    mel = np.asarray(mel, np.float32).T  # (n_mels, T)
+    lo, hi = mel.min(), mel.max()
+    return ((mel - lo) / max(hi - lo, 1e-6))[None]
+
+
 def _make_writer(logdir: Path):
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -99,6 +106,7 @@ class KokoroTrainer:
         self.output_dir = Path(config.output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.writer = _make_writer(self.output_dir / "logs")
+        self._add_custom_scalars_layout()
         self.ckpt = CheckpointManager(self.output_dir, keep=config.keep_checkpoints)
 
         self.phoneme_processor = RussianPhonemeProcessor()
@@ -110,6 +118,39 @@ class KokoroTrainer:
         self.best_val_epoch = -1
         self.epochs_without_improvement = 0
         self.start_epoch = 0
+
+    def _add_custom_scalars_layout(self) -> None:
+        """Merge train/val pairs and all per-group LRs onto shared charts
+        (reference trainer.py:122-135)."""
+        if not hasattr(self.writer, "add_custom_scalars"):
+            return
+        multiline = lambda tags: ["Multiline", tags]
+        try:
+            self.writer.add_custom_scalars({
+                "Epoch Losses": {
+                    "Total Loss (train vs val)": multiline(
+                        ["loss/train_total_epoch", "loss/val_total_epoch"]),
+                    "Mel Loss (train vs val)": multiline(
+                        ["loss/train_mel_epoch", "loss/val_mel_epoch"]),
+                    "Stop Loss (train vs val)": multiline(
+                        ["loss/train_stop_epoch", "loss/val_stop_epoch"]),
+                    "Duration Loss (train vs val)": multiline(
+                        ["loss/train_duration_epoch", "loss/val_duration_epoch"]),
+                },
+                "Spectral Metrics": {
+                    "Spectral Convergence (train vs val)": multiline(
+                        ["metrics/train_spectral_convergence",
+                         "metrics/val_spectral_convergence"]),
+                },
+                "Learning Rate": {
+                    "LR (encoder vs decoder vs stop vs ffn vs attn)": multiline(
+                        ["stats/lr_encoder", "stats/lr_decoder",
+                         "stats/lr_decoder_ffn", "stats/lr_decoder_attn",
+                         "stats/lr_stop_head", "stats/lr_variance_embed"]),
+                },
+            })
+        except Exception as err:
+            logger.debug("custom scalars layout failed: %s", err)
 
     # ------------------------------------------------------------------
     def _setup_mesh(self) -> None:
@@ -223,6 +264,7 @@ class KokoroTrainer:
             decoder_input_dropout=cfg.decoder_input_dropout,
             max_decoder_seq_len=cfg.max_decoder_seq_len,
             qk_norm=cfg.qk_norm,
+            rel_pos_type=cfg.rel_pos_type,
             use_stochastic_depth=cfg.use_stochastic_depth,
             stochastic_depth_rate=cfg.stochastic_depth_rate,
             ffn_output_norm=cfg.ffn_output_norm,
@@ -233,6 +275,7 @@ class KokoroTrainer:
             n_variance_bins=cfg.n_variance_bins,
             length_regulator_stop_gradient=cfg.length_regulator_stop_gradient,
             gradient_checkpointing=cfg.gradient_checkpointing,
+            checkpoint_segments=cfg.checkpoint_segments,
             use_flash_attention=cfg.use_flash_attention,
             attention_weight_dropout=cfg.attention_weight_dropout,
             use_spec_augment=cfg.use_spec_augment,
@@ -300,19 +343,25 @@ class KokoroTrainer:
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
             if cfg.enable_profiling and epoch == cfg.profile_epoch_start:
-                # device trace of one epoch (reference trainer.py:200,1027-1061
-                # torch.profiler -> jax.profiler; view with TensorBoard/Perfetto)
-                from kokoro_tpu.utils.profiling import trace
-
-                with trace(self.output_dir / "profiler_logs"):
+                # device trace of the first ``profile_steps`` optimizer steps
+                # (reference trainer.py:1027-1061 schedule(active=profile_steps);
+                # torch.profiler -> jax.profiler; view in TensorBoard/Perfetto)
+                jax.profiler.start_trace(str(self.output_dir / "profiler_logs"))
+                self._trace_active = True
+                self._trace_steps_left = max(1, cfg.profile_steps)
+                try:
                     train_metrics = self.train_epoch(epoch)
+                finally:
+                    self._stop_trace_if_active()
             else:
                 train_metrics = self.train_epoch(epoch)
             epoch_time = time.time() - t0
             self._log_weight_histograms(epoch)
             step = int(self.state.opt_step)
-            self.writer.add_scalar("loss/train_total_epoch", train_metrics["total"], step)
-            self.writer.add_scalar("loss/train_mel_epoch", train_metrics["mel"], step)
+            for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                self.writer.add_scalar(
+                    f"loss/train_{k}_epoch", train_metrics.get(k, 0.0), step
+                )
             logger.info(
                 "Epoch %d: train total %.4f (mel %.4f) in %.1fs, %d steps",
                 epoch + 1, train_metrics["total"], train_metrics["mel"],
@@ -393,6 +442,13 @@ class KokoroTrainer:
         self._epoch_sums: Dict[str, float] = {}
         self._epoch_steps = 0
         interbatch_t0 = time.time()
+        self._interbatch = None
+        if cfg.enable_interbatch_profiling:
+            # wall-clock phase profiler: data assembly vs step dispatch
+            # (reference utils/interbatch_profiler.py:32-100, trainer.py:2122)
+            from kokoro_tpu.utils.profiling import InterbatchProfiler
+
+            self._interbatch = InterbatchProfiler(cfg.interbatch_report_interval)
 
         # Stream: accumulate index-batches into optimizer-step groups, assemble
         # each group to a padded batch dict, then stack runs of same-shape
@@ -420,7 +476,11 @@ class KokoroTrainer:
             is_last = b_idx == len(batches) - 1
             if len(group) < accum and not is_last:
                 continue
+            if self._interbatch is not None:
+                self._interbatch.start("data")
             batch = self._assemble(group, rng)
+            if self._interbatch is not None:
+                self._interbatch.end("data")
             group = []
             sig = tuple(sorted((k, v.shape) for k, v in batch.items()))
             if pending_sig is not None and sig != pending_sig:
@@ -440,6 +500,8 @@ class KokoroTrainer:
                 "Epoch %d: %d optimizer steps in %.1fs (%.2f steps/s)",
                 epoch + 1, n_steps, elapsed, n_steps / max(elapsed, 1e-9),
             )
+            if self._interbatch is not None and self._interbatch.phases:
+                logger.info(self._interbatch.report())
         return {
             k: v / max(n_steps, 1) for k, v in self._epoch_sums.items()
         }
@@ -457,10 +519,19 @@ class KokoroTrainer:
             jax.random.PRNGKey(cfg.seed + 1), self._step_seq
         )
         fn = self._get_train_step(spec_augment, scan_k)
+        if self._interbatch is not None:
+            self._interbatch.start("step")
         device_batch = put_batch(batch, self.mesh)
         self.state, metrics = fn(self.state, device_batch, sub)
         host = jax.device_get(metrics)  # one bulk transfer, not one per metric
+        if self._interbatch is not None:
+            self._interbatch.end("step")
+        if getattr(self, "_trace_steps_left", 0) > 0:
+            self._trace_steps_left -= scan_k
+            if self._trace_steps_left <= 0:
+                self._stop_trace_if_active()
         base_step = int(self.state.opt_step) - scan_k
+        skipped_any = False
         for i in range(scan_k):
             step = base_step + i + 1
             get = (lambda k: float(host[k][i])) if scan_k > 1 else (
@@ -469,6 +540,19 @@ class KokoroTrainer:
             self._epoch_steps += 1
             for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
                 self._epoch_sums[k] = self._epoch_sums.get(k, 0.0) + get(k)
+            if get("total") > 10.0:
+                # host-side divergence warning (reference losses.py:159-199;
+                # the in-graph clamps already bound the backward)
+                logger.warning(
+                    "Total loss %.2f > 10 at opt step %d — divergence "
+                    "suspected (losses are clamped, not reset)",
+                    get("total"), step,
+                )
+            if get("stepped") == 0.0:
+                skipped_any = True
+                logger.warning(
+                    "Step skipped (non-finite gradients) at opt step %d", step
+                )
             if step % cfg.log_every_steps == 0:
                 for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
                     self.writer.add_scalar(f"loss/{k}", get(k), step)
@@ -477,10 +561,76 @@ class KokoroTrainer:
                     "stats/grad_norm_clipped", get("grad_norm_clipped"), step
                 )
                 self._log_lrs(step)
-                if get("stepped") == 0.0:
-                    logger.warning(
-                        "Step skipped (non-finite gradients) at opt step %d", step
+            if (
+                cfg.histogram_every_steps
+                and step % cfg.histogram_every_steps == 0
+            ):
+                self._log_train_diagnostics(batch, step)
+        if skipped_any:
+            self._dump_debug_batch(batch, base_step + scan_k)
+
+    def _stop_trace_if_active(self) -> None:
+        if getattr(self, "_trace_active", False):
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            self._trace_active = False
+        self._trace_steps_left = 0
+
+    def _dump_debug_batch(self, batch: Dict[str, np.ndarray], step: int) -> None:
+        """Dump the host-side numpy batch that produced non-finite gradients
+        (reference trainer.py:2407-2463 debug_batch_*.pt -> .npz)."""
+        try:
+            path = self.output_dir / f"debug_batch_step_{step}.npz"
+            np.savez_compressed(path, **batch)
+            logger.warning("Dumped offending batch to %s", path)
+        except Exception as err:
+            logger.debug("debug batch dump failed: %s", err)
+
+    def _micro_from(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """First microbatch of a (possibly scan- and/or accumulation-stacked)
+        host batch: index leading axes until mel_specs is (B, T, M)."""
+        micro = batch
+        while micro["mel_specs"].ndim > 3:
+            micro = {k: v[0] for k, v in micro.items()}
+        return micro
+
+    def _log_train_diagnostics(self, batch: Dict[str, np.ndarray], step: int) -> None:
+        """Gradient histograms + train pred/GT spectrogram images + train
+        spectral convergence, every ``histogram_every_steps`` optimizer steps
+        (reference trainer.py:2500-2537, 2715-2721)."""
+        try:
+            if not hasattr(self, "_diag_step"):
+                from kokoro_tpu.training.train_step import make_diagnostic_step
+
+                self._diag_step = make_diagnostic_step(self.model, self.config)
+            micro = self._micro_from(batch)
+            out, metrics, grads = self._diag_step(self.state.params, micro)
+            out, metrics, grads = jax.device_get((out, metrics, grads))
+            self.writer.add_scalar(
+                "metrics/train_spectral_convergence",
+                float(metrics["spectral_convergence"]), step,
+            )
+            if hasattr(self.writer, "add_histogram"):
+                flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+                for path, value in flat:
+                    name = jax.tree_util.keystr(path).replace("']['", "/").strip("[']")
+                    self.writer.add_histogram(
+                        f"gradients/{name}", np.asarray(value), step
                     )
+            if hasattr(self.writer, "add_image"):
+                t = int(micro["mel_lengths"][0])
+                self.writer.add_image(
+                    "spectrogram/train_predicted",
+                    _mel_image(out["predicted_mel"][0, :t]), step,
+                )
+                self.writer.add_image(
+                    "spectrogram/train_ground_truth",
+                    _mel_image(micro["mel_specs"][0, :t]), step,
+                )
+        except Exception as err:  # diagnostics are best-effort observability
+            logger.debug("train diagnostics logging failed: %s", err)
 
     def _assemble(
         self, group: List[List[int]], rng: np.random.Generator
@@ -495,7 +645,16 @@ class KokoroTrainer:
         contiguous row block, with sequence dims forced from host-side length
         metadata so all processes pad identically."""
         cfg = self.config
-        out_B = round_up_to_multiple(max(len(g) for g in group), self.dp_size)
+        # Batch dim quantized to a multiple of 4 (and of the mesh size): the
+        # frame-budget packer emits variable batch sizes, and every distinct B
+        # is a fresh XLA compile of the whole train step.  Padding rows are
+        # fully masked, so rounding up only costs masked compute — it buys
+        # far fewer compilations AND longer same-shape runs for the
+        # scan_steps stacker.
+        import math as _math
+
+        b_quantum = _math.lcm(self.dp_size, min(4, max(cfg.max_batch_size, 1)))
+        out_B = round_up_to_multiple(max(len(g) for g in group), b_quantum)
         forced_T = forced_L = None
         if self.process_count > 1:
             est = [self.train_dataset.lengths(i) for g in group for i in g]
@@ -606,6 +765,9 @@ class KokoroTrainer:
         step = int(self.state.opt_step)
         for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
             self.writer.add_scalar(f"loss/val_{k}", avg.get(k, 0.0), step)
+            # epoch-pair tags for the custom-scalars layout (reference
+            # trainer.py:122-135, 2902-2940)
+            self.writer.add_scalar(f"loss/val_{k}_epoch", avg.get(k, 0.0), step)
         self.writer.add_scalar(
             "metrics/val_spectral_convergence", avg.get("spectral_convergence", 0.0), step
         )
@@ -650,43 +812,59 @@ class KokoroTrainer:
 
     def _log_val_spectrograms(self, batch: Dict[str, np.ndarray]) -> None:
         """Predicted vs ground-truth validation spectrogram images
-        (reference trainer.py:1841-1842)."""
-        if not hasattr(self.writer, "add_image"):
+        (reference trainer.py:1841-1842) plus prediction-distribution
+        histograms (reference trainer.py:1960-1974)."""
+        if not (hasattr(self.writer, "add_image")
+                or hasattr(self.writer, "add_histogram")):
             return
         try:
-            from kokoro_tpu.training.train_step import make_loss_fn  # noqa: F401
-
             text_pad = (
                 np.arange(batch["phoneme_indices"].shape[1])[None, :]
                 >= batch["phoneme_lengths"][:, None]
             )
             out = self.model.apply(
                 self.state.ema_params,
-                phoneme_indices=batch["phoneme_indices"][:1],
-                mel_specs=batch["mel_specs"][:1],
-                phoneme_durations=batch["phoneme_durations"][:1],
-                stress_indices=batch["stress_indices"][:1],
-                text_padding_mask=text_pad[:1],
-                pitch_targets=batch["pitch_targets"][:1],
-                energy_targets=batch["energy_targets"][:1],
+                phoneme_indices=batch["phoneme_indices"],
+                mel_specs=batch["mel_specs"],
+                phoneme_durations=batch["phoneme_durations"],
+                stress_indices=batch["stress_indices"],
+                text_padding_mask=text_pad,
+                pitch_targets=batch["pitch_targets"],
+                energy_targets=batch["energy_targets"],
                 deterministic=True,
             )
+            out = jax.device_get(out)
             step = int(self.state.opt_step)
             t = int(batch["mel_lengths"][0])
-
-            def to_img(mel: np.ndarray) -> np.ndarray:
-                mel = np.asarray(mel, np.float32).T  # (n_mels, T)
-                lo, hi = mel.min(), mel.max()
-                return ((mel - lo) / max(hi - lo, 1e-6))[None]  # CHW
-
-            self.writer.add_image(
-                "spectrogram/val_predicted",
-                to_img(out["predicted_mel"][0, :t]), step,
-            )
-            self.writer.add_image(
-                "spectrogram/val_ground_truth",
-                to_img(batch["mel_specs"][0, :t]), step,
-            )
+            if hasattr(self.writer, "add_image"):
+                self.writer.add_image(
+                    "spectrogram/val_predicted",
+                    _mel_image(out["predicted_mel"][0, :t]), step,
+                )
+                self.writer.add_image(
+                    "spectrogram/val_ground_truth",
+                    _mel_image(batch["mel_specs"][0, :t]), step,
+                )
+            if hasattr(self.writer, "add_histogram"):
+                # masked prediction distributions over the batch
+                frame_ok = (
+                    np.arange(batch["mel_specs"].shape[1])[None, :]
+                    < batch["mel_lengths"][:, None]
+                )
+                phon_ok = ~text_pad
+                T_pred = out["predicted_pitch"].shape[1]
+                self.writer.add_histogram(
+                    "val_predictions/log_durations",
+                    np.asarray(out["predicted_log_durations"])[phon_ok], step,
+                )
+                self.writer.add_histogram(
+                    "val_predictions/pitch",
+                    np.asarray(out["predicted_pitch"])[frame_ok[:, :T_pred]], step,
+                )
+                self.writer.add_histogram(
+                    "val_predictions/energy",
+                    np.asarray(out["predicted_energy"])[frame_ok[:, :T_pred]], step,
+                )
         except Exception as err:  # images are best-effort observability
             logger.debug("val spectrogram logging failed: %s", err)
 
@@ -709,8 +887,12 @@ class KokoroTrainer:
         stats = self.train_dataset.cache_stats()
         if stats["requests"]:
             logger.info(
-                "Feature cache: %.1f%% hit rate (%d requests, %d memory entries)",
-                stats["hit_rate"] * 100, stats["requests"], stats["memory_entries"],
+                "Feature cache: %.1f%% hit rate (%d requests: %d mem / %d disk "
+                "hits, %d entries = %.1f MB in RAM, latency mem %.3f ms / "
+                "disk %.3f ms)",
+                stats["hit_rate"] * 100, stats["requests"], stats["mem_hits"],
+                stats["disk_hits"], stats["memory_entries"], stats["memory_mb"],
+                stats["mem_latency_ms"], stats["disk_latency_ms"],
             )
 
 

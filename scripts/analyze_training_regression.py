@@ -5,11 +5,18 @@ TPU-native equivalent of the reference's 2,519-line analyzer
 (reference scripts/analyze_training_regression.py, SURVEY.md §2.7):
 
 * per-checkpoint parameter L2-norm / delta / non-finite tables over the
-  checkpoint series, with top-mover attribution,
+  checkpoint series, with top-mover attribution (mtime-keyed stats cache so
+  repeat runs skip unchanged checkpoints, reference :34-60),
 * EMA-vs-live weight divergence,
 * metric-log analysis (loss trends, val-mel series, grad-norm spikes and
   clip saturation, LR phase detection) from TensorBoard event files or the
   fallback metrics.jsonl,
+* stop-loss percentile + burst detection with late-burst warnings
+  (reference :899-970),
+* mel<->stop 200-step window correlation with co-movement attribution
+  labels (reference tb_print_mel_stop_window_correlation, :1078-1140),
+* val-mel epoch-series regression detection with linear slope + R^2
+  (reference tb_print_val_mel_series, :820-850),
 * PASS/WARN/FAIL regression checklist with prioritized recommendations.
 
 Usage:
@@ -56,14 +63,64 @@ def flatten_norms(tree, prefix="") -> dict:
     return out
 
 
+_CACHE_VERSION = 1
+
+
+def _load_stats_cache(model_dir: Path) -> dict:
+    """mtime-keyed per-checkpoint norm cache (reference :34-60): repeat
+    analyzer runs skip re-reading unchanged checkpoints."""
+    path = model_dir / ".analysis_stats_cache.json"
+    try:
+        data = json.loads(path.read_text())
+        if data.get("version") == _CACHE_VERSION:
+            return data.get("entries", {})
+    except Exception:
+        pass
+    return {}
+
+
+def _save_stats_cache(model_dir: Path, entries: dict) -> None:
+    try:
+        (model_dir / ".analysis_stats_cache.json").write_text(
+            json.dumps({"version": _CACHE_VERSION, "entries": entries})
+        )
+    except OSError:
+        pass
+
+
+def _checkpoint_mtime(ck: Path) -> float:
+    return max((p.stat().st_mtime for p in ck.rglob("*") if p.is_file()),
+               default=ck.stat().st_mtime)
+
+
 def analyze_checkpoints(model_dir: Path) -> dict:
     ckpts = sorted(
         model_dir.glob("checkpoint_epoch_*"),
         key=lambda p: int(p.name.rsplit("_", 1)[1]),
     )
     report = {"checkpoints": [], "top_movers": [], "ema_divergence": None}
+    cache = _load_stats_cache(model_dir)
+    cache_out = {}
     prev_norms = None
     for ck in ckpts:
+        mtime = _checkpoint_mtime(ck)
+        cached = cache.get(ck.name)
+        if cached and cached.get("mtime") == mtime:
+            norms = cached["norms"]
+            cache_out[ck.name] = cached
+            entry = dict(cached["entry"])
+            if prev_norms is not None:
+                deltas = {
+                    k: abs(norms[k]["norm"] - prev_norms[k]["norm"])
+                    for k in norms if k in prev_norms
+                }
+                movers = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+                entry["top_movers"] = [
+                    {"param": k, "delta": round(d, 4)} for k, d in movers
+                ]
+            report["checkpoints"].append(entry)
+            prev_norms = norms
+            continue
         try:
             state = load_checkpoint_params(ck)
         except Exception as err:
@@ -78,6 +135,7 @@ def analyze_checkpoints(model_dir: Path) -> dict:
             ),
             "nonfinite_params": n_nonfinite,
         }
+        cache_out[ck.name] = {"mtime": mtime, "norms": norms, "entry": dict(entry)}
         if prev_norms is not None:
             deltas = {
                 k: abs(norms[k]["norm"] - prev_norms[k]["norm"])
@@ -90,6 +148,8 @@ def analyze_checkpoints(model_dir: Path) -> dict:
             ]
         report["checkpoints"].append(entry)
         prev_norms = norms
+    if cache_out:
+        _save_stats_cache(model_dir, cache_out)
 
     # EMA divergence on the last checkpoint
     if ckpts:
@@ -178,7 +238,153 @@ def analyze_metrics(scalars: dict) -> dict:
             "peak_at_fraction": round(peak_i / max(len(values) - 1, 1), 3),
             "final_lr": float(values[-1]),
         }
+    stop = analyze_stop_token(scalars)
+    if stop:
+        report["stop_token"] = stop
+    corr = analyze_mel_stop_correlation(scalars)
+    if corr:
+        report["mel_stop_correlation"] = corr
+    vs = analyze_val_mel_series(scalars)
+    if vs:
+        report["val_mel_series"] = vs
     return report
+
+
+def analyze_stop_token(scalars: dict) -> dict:
+    """Stop-loss percentiles + burst detection with late-burst warnings
+    (reference analyze_training_regression.py:899-970)."""
+    series = sorted(scalars.get("loss/stop", []))
+    report: dict = {}
+    if series:
+        steps = np.array([s for s, _ in series])
+        vals = np.array([v for _, v in series])
+        p50 = float(np.percentile(vals, 50))
+        burst_thresh = p50 * 2.0
+        burst_mask = vals > burst_thresh
+        half = steps[-1] * 0.5
+        late_mask = burst_mask & (steps > half)
+        report["step"] = {
+            "n": len(series),
+            "first": round(float(vals[0]), 5),
+            "last": round(float(vals[-1]), 5),
+            "p50": round(p50, 5),
+            "p90": round(float(np.percentile(vals, 90)), 5),
+            "p99": round(float(np.percentile(vals, 99)), 5),
+            "burst_threshold": round(burst_thresh, 5),
+            "bursts": int(burst_mask.sum()),
+            "late_bursts": int(late_mask.sum()),
+            "burst_steps": [int(s) for s in steps[burst_mask][:15]],
+        }
+    # epoch-level regressions (train and val)
+    for tag, label in (("loss/train_stop_epoch", "train"),
+                       ("loss/val_stop_epoch", "val")):
+        ep = sorted(scalars.get(tag, []))
+        if ep:
+            vals = [v for _, v in ep]
+            regressions = [
+                i + 1 for i in range(1, len(vals)) if vals[i] > vals[i - 1]
+            ]
+            report[f"epoch_{label}"] = {
+                "values": [round(v, 5) for v in vals],
+                "regression_epochs": regressions,
+            }
+    return report
+
+
+def analyze_mel_stop_correlation(scalars: dict, window: int = 200) -> list:
+    """mel<->stop co-movement over fixed step windows with attribution labels
+    (reference tb_print_mel_stop_window_correlation, :1078-1140)."""
+    mel = sorted(scalars.get("loss/mel", []))
+    stop = sorted(scalars.get("loss/stop", []))
+    lr = sorted(scalars.get("stats/lr_decoder", []))
+    if not mel:
+        return []
+    lr_arr = np.array(lr) if lr else None
+    lr_max = float(lr_arr[:, 1].max()) if lr is not None and len(lr) else 1.0
+    rows = []
+    max_step = mel[-1][0]
+    w = (mel[0][0] // window) * window
+    prev_mm = prev_sm = None
+    while w <= max_step:
+        seg_mel = [v for s, v in mel if w <= s < w + window]
+        seg_stop = [v for s, v in stop if w <= s < w + window]
+        if seg_mel:
+            mm = float(np.mean(seg_mel))
+            sm = float(np.mean(seg_stop)) if seg_stop else None
+            dmel = mm - prev_mm if prev_mm is not None else None
+            dstop = (
+                sm - prev_sm
+                if (prev_sm is not None and sm is not None) else None
+            )
+            label = ""
+            if dmel is not None and dstop is not None:
+                if dmel > 0 and dstop > 0:
+                    label = "both_up_lr_pressure"
+                elif dmel < 0 and dstop < 0:
+                    label = "both_down_improving"
+                elif dstop > 0 >= dmel:
+                    label = "stop_up_only_stop_source"
+                elif dmel > 0 >= dstop:
+                    label = "mel_up_only"
+            lr_pct = None
+            if lr_arr is not None and len(lr_arr):
+                mid = w + window // 2
+                lr_here = lr_arr[np.abs(lr_arr[:, 0] - mid).argmin(), 1]
+                lr_pct = round(100.0 * float(lr_here) / lr_max, 1)
+            rows.append({
+                "window": [int(w), int(w + window)],
+                "mel_mean": round(mm, 5),
+                "dmel": round(dmel, 5) if dmel is not None else None,
+                "stop_mean": round(sm, 5) if sm is not None else None,
+                "dstop": round(dstop, 5) if dstop is not None else None,
+                "lr_pct": lr_pct,
+                "attribution": label,
+            })
+            prev_mm, prev_sm = mm, sm
+        w += window
+    return rows
+
+
+def _linear_slope(vals: list) -> tuple:
+    """(slope per index, R^2) of a least-squares line."""
+    if len(vals) < 2:
+        return 0.0, 0.0
+    x = np.arange(len(vals), dtype=np.float64)
+    y = np.asarray(vals, np.float64)
+    slope, intercept = np.polyfit(x, y, 1)
+    pred = slope * x + intercept
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    return float(slope), r2
+
+
+def analyze_val_mel_series(scalars: dict, spec_augment_epoch: int = 1) -> dict:
+    """Epoch-series regression detection on val mel with SpecAugment-transient
+    awareness (reference tb_print_val_mel_series, :820-850)."""
+    vm = sorted(scalars.get("loss/val_mel_epoch", []))
+    if not vm:
+        return {}
+    vals = [v for _, v in vm]
+    epochs = []
+    for i, v in enumerate(vals):
+        flag = ""
+        if i > 0 and v > vals[i - 1]:
+            # epochs right after SpecAugment enables are expected transients
+            in_sa_window = spec_augment_epoch <= (i + 1) < spec_augment_epoch + 5
+            flag = "spec_augment_transient" if in_sa_window else "REGRESSION"
+        epochs.append({"epoch": i + 1, "val_mel": round(v, 5), "flag": flag})
+    slope, r2 = _linear_slope(vals)
+    best = min(vals)
+    return {
+        "epochs": epochs,
+        "best": round(best, 5),
+        "best_epoch": vals.index(best) + 1,
+        "last": round(vals[-1], 5),
+        "slope_per_epoch": round(slope, 6),
+        "r2": round(r2, 3),
+        "regression_count": sum(1 for e in epochs if e["flag"] == "REGRESSION"),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +439,37 @@ def build_checklist(ck_report: dict, metric_report: dict) -> list:
             "EMA tracking", "PASS" if ema["max"] < 50 else "WARN",
             f"max per-param norm divergence {ema['max']}",
         )
+    st = metric_report.get("stop_token", {}).get("step")
+    if st:
+        status = "PASS" if st["late_bursts"] == 0 else "WARN"
+        check(
+            "stop-loss bursts", status,
+            f"{st['bursts']} bursts > 2x median ({st['burst_threshold']}); "
+            f"{st['late_bursts']} in the 2nd half of the run"
+            + ("" if st["late_bursts"] == 0 else
+               " — stop loss NOT stabilizing (reference :948-953)"),
+        )
+    vs = metric_report.get("val_mel_series")
+    if vs:
+        status = (
+            "PASS" if vs["regression_count"] == 0
+            else "WARN" if vs["regression_count"] <= 2 else "FAIL"
+        )
+        check(
+            "val-mel epoch series", status,
+            f"best {vs['best']} @Ep{vs['best_epoch']}, last {vs['last']}, "
+            f"slope {vs['slope_per_epoch']}/ep (R2 {vs['r2']}), "
+            f"{vs['regression_count']} non-transient regression(s)",
+        )
+    corr = metric_report.get("mel_stop_correlation", [])
+    stop_source = [r for r in corr if r["attribution"] == "stop_up_only_stop_source"]
+    if corr:
+        check(
+            "mel<->stop co-movement",
+            "PASS" if len(stop_source) <= max(1, len(corr) // 10) else "WARN",
+            f"{len(stop_source)}/{len(corr)} windows attribute a loss rise to "
+            "the stop head alone",
+        )
     return checks
 
 
@@ -261,6 +498,23 @@ def recommendations(checks: list) -> list:
             recs.append(
                 "non-finite weights found: inspect skipped-step counters and "
                 "lower the warmup floor of the explosion detector"
+            )
+        elif c["check"] == "stop-loss bursts":
+            recs.append(
+                "late stop-loss bursts: lower stop_head_lr_multiplier or "
+                "stop_head_spike_clip_norm (the head is gradient-isolated, so "
+                "bursts are confined to it — reference trainer.py:547-563)"
+            )
+        elif c["check"] == "val-mel epoch series":
+            recs.append(
+                "val-mel regressing across epochs: check the mel<->stop "
+                "correlation table for attribution, and consider the "
+                "reference's run-3 attention-LR fix (config.py:58-61)"
+            )
+        elif c["check"] == "mel<->stop co-movement":
+            recs.append(
+                "loss rises attribute to the stop head alone: reduce "
+                "stop_token_loss_weight or stop-head LR"
             )
     return recs
 
@@ -301,7 +555,27 @@ def main() -> int:
         print(f"  EMA divergence: {ck_report['ema_divergence']}")
     print("-" * 70)
     for k, v in metric_report.items():
-        print(f"  {k}: {v}")
+        if k == "mel_stop_correlation":
+            print("  mel<->stop correlation (200-step windows):")
+            for r in v:
+                print(
+                    f"    {r['window'][0]:>6}-{r['window'][1]:<6} "
+                    f"mel={r['mel_mean']:.5f} ({r['dmel'] if r['dmel'] is not None else '':>8}) "
+                    f"stop={r['stop_mean'] if r['stop_mean'] is not None else '?'} "
+                    f"({r['dstop'] if r['dstop'] is not None else '':>8}) "
+                    f"lr={r['lr_pct'] if r['lr_pct'] is not None else '?':>5}% "
+                    f"{r['attribution']}"
+                )
+        elif k == "val_mel_series":
+            print("  val-mel epoch series:")
+            for e in v["epochs"]:
+                print(f"    Ep{e['epoch']:02d}  val_mel={e['val_mel']:.5f}  {e['flag']}")
+            print(
+                f"    best={v['best']} @Ep{v['best_epoch']}  last={v['last']}  "
+                f"slope={v['slope_per_epoch']}/ep  R2={v['r2']}"
+            )
+        else:
+            print(f"  {k}: {v}")
     print("-" * 70)
     for c in checks:
         print(f"  [{c['status']:4}] {c['check']}: {c['detail']}")

@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Quality-evidence training run (VERDICT round-1 item #2).
+
+Trains the FLAGSHIP config (512-dim, 6+6 layers) for multiple epochs on the
+largest corpus constructible in-environment (RUSLAN is absent, so a synthetic
+utterance-like corpus), then:
+
+* writes per-epoch learning curves (train/val mel, spectral convergence,
+  F0 RMSE) to ``docs/QUALITY_RUN.md`` + ``docs/quality_run_metrics.json``,
+* exercises mid-run checkpoint resume (stops after half the epochs, resumes
+  from 'auto', continues),
+* finishes with the regression analyzer over the run's checkpoints + logs.
+
+Usage:
+    python scripts/quality_run.py [--epochs 12] [--utts 384] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
+    """Utterance-like synthetic speech: harmonic source with per-'word' f0
+    moves + formant-ish filtered noise mixed per voiced/unvoiced segment, so
+    duration/pitch/energy targets correlate with the text structure."""
+    from kokoro_tpu.data.audio_io import save_wav
+
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    words = [
+        "привет", "мир", "как", "дела", "всё", "хорошо", "говорит", "москва",
+        "сегодня", "завтра", "погода", "ясная", "ветер", "слабый", "дождь",
+        "вечером", "утром", "новости", "слушайте", "внимательно", "спасибо",
+        "пожалуйста", "конечно", "возможно", "правда", "работа", "время",
+    ]
+    sr = 22050
+    lines = []
+    for i in range(n_utts):
+        n_words = int(rng.integers(3, 10))
+        text_words = list(rng.choice(words, size=n_words))
+        base_f0 = float(rng.uniform(100, 200))
+        pieces = []
+        for w in text_words:
+            dur = 0.12 + 0.05 * len(w) + float(rng.uniform(0, 0.08))
+            n = int(sr * dur)
+            t = np.arange(n) / sr
+            # word-level pitch contour: declination + random accent
+            f0 = base_f0 * (1.0 + 0.2 * rng.standard_normal()) * (
+                1.0 - 0.1 * t / max(dur, 1e-6)
+            )
+            phase = 2 * np.pi * np.cumsum(f0) / sr
+            voiced = (
+                0.5 * np.sin(phase)
+                + 0.25 * np.sin(2 * phase)
+                + 0.12 * np.sin(3 * phase)
+            )
+            # consonant-ish noise burst at the word onset
+            burst_n = int(0.25 * n)
+            noise = np.zeros(n)
+            noise[:burst_n] = 0.2 * rng.standard_normal(burst_n)
+            env = np.minimum(1.0, np.arange(n) / (0.02 * sr))
+            env *= env[::-1]
+            pieces.append((voiced + noise) * env)
+            pieces.append(np.zeros(int(sr * rng.uniform(0.02, 0.08))))
+        audio = np.concatenate(pieces)
+        audio += 0.01 * rng.standard_normal(audio.shape[0])
+        audio = (0.8 * audio / np.abs(audio).max()).astype(np.float32)
+        save_wav(wavs / f"q{i:04d}.wav", audio, sr)
+        lines.append(f"q{i:04d}|{' '.join(text_words)}")
+    (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+
+
+def run(args) -> int:
+    from kokoro_tpu.config import get_default_config
+    from kokoro_tpu.training.trainer import KokoroTrainer
+
+    out = Path(args.out)
+    corpus = out / "corpus"
+    if not (corpus / "metadata.csv").exists():
+        print(f"building corpus ({args.utts} utterances)...")
+        build_corpus(corpus, args.utts)
+
+    def make_cfg(**kw):
+        base = dict(
+            data_dir=str(corpus),
+            output_dir=str(out / "run"),
+            num_epochs=args.epochs,
+            use_mfa=False,
+            use_speed_perturbation=False,
+            validation_split=0.1,
+            save_every=2,
+            keep_checkpoints=50,
+            warmup_steps=min(200, args.epochs * 10),
+            log_every_steps=10,
+            max_frames_per_batch=20000,
+            max_batch_size=12,
+            resume_checkpoint="auto",
+        )
+        base.update(kw)
+        return get_default_config(**base)
+
+    history = []
+
+    class RecordingTrainer(KokoroTrainer):
+        def validate_epoch(self, epoch):
+            metrics = super().validate_epoch(epoch)
+            train = {
+                k: v / max(self._epoch_steps, 1)
+                for k, v in self._epoch_sums.items()
+            }
+            history.append({
+                "epoch": epoch + 1,
+                "step": int(self.state.opt_step),
+                "train_total": round(train.get("total", 0.0), 5),
+                "train_mel": round(train.get("mel", 0.0), 5),
+                "val_total": round(metrics.get("total", 0.0), 5),
+                "val_mel": round(metrics.get("mel", 0.0), 5),
+                "val_duration": round(metrics.get("duration", 0.0), 5),
+                "val_stop": round(metrics.get("stop", 0.0), 5),
+                "spectral_convergence": round(
+                    metrics.get("spectral_convergence", 0.0), 5),
+                "f0_rmse": round(metrics.get("f0_rmse", 0.0), 5),
+            })
+            return metrics
+
+    half = max(args.epochs // 2, 1)
+    t0 = time.time()
+    print(f"phase 1: epochs 1..{half}")
+    trainer = RecordingTrainer(make_cfg(num_epochs=half))
+    trainer.train()
+    step_at_break = int(trainer.state.opt_step)
+    del trainer
+
+    print(f"phase 2: resume -> epochs {half + 1}..{args.epochs}")
+    trainer = RecordingTrainer(make_cfg(num_epochs=args.epochs))
+    result = trainer.train()
+    wall = time.time() - t0
+    assert int(trainer.state.opt_step) > step_at_break, "resume did not continue"
+
+    total_frames = sum(
+        trainer.train_dataset.lengths(i)[0]
+        for i in range(len(trainer.train_dataset))
+    )
+    payload = {
+        "config": "flagship default (512 hidden, 6+6 layers)",
+        "corpus": f"synthetic, {args.utts} utterances, "
+                  f"{total_frames} train mel-frames/epoch",
+        "epochs": args.epochs,
+        "resume_break_after_epoch": half,
+        "resume_continued_from_step": step_at_break,
+        "wall_seconds": round(wall, 1),
+        "best_val_mel": result["best_val_loss"],
+        "best_val_epoch": int(result["best_val_epoch"]) + 1,
+        "history": history,
+    }
+    (REPO / "docs" / "quality_run_metrics.json").write_text(
+        json.dumps(payload, indent=2)
+    )
+
+    lines = [
+        "# Quality-evidence run",
+        "",
+        f"Flagship config (512 hidden, 6+6 layers, bf16) on a synthetic",
+        f"{args.utts}-utterance corpus ({total_frames} train mel-frames/epoch),",
+        f"{args.epochs} epochs with a checkpoint-resume break after epoch {half}",
+        f"(run continued from optimizer step {step_at_break}).",
+        "",
+        "Generated by `scripts/quality_run.py`; raw numbers in",
+        "`docs/quality_run_metrics.json`.",
+        "",
+        "| epoch | step | train mel | val mel | val dur | val stop | spec-conv | F0 RMSE |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for h in history:
+        lines.append(
+            f"| {h['epoch']} | {h['step']} | {h['train_mel']} | {h['val_mel']} "
+            f"| {h['val_duration']} | {h['val_stop']} "
+            f"| {h['spectral_convergence']} | {h['f0_rmse']} |"
+        )
+    mels = [h["val_mel"] for h in history]
+    lines += [
+        "",
+        f"Best val mel **{min(mels):.4f}** (epoch {mels.index(min(mels)) + 1}); "
+        f"first->last val mel {mels[0]:.4f} -> {mels[-1]:.4f}.",
+        f"Wall time {wall / 60:.1f} min on {payload_device()}.",
+    ]
+    (REPO / "docs" / "QUALITY_RUN.md").write_text("\n".join(lines) + "\n")
+    print(f"wrote docs/QUALITY_RUN.md (best val mel {min(mels):.4f})")
+    return 0
+
+
+def payload_device() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--utts", type=int, default=384)
+    p.add_argument("--out", default="/tmp/kokoro_quality")
+    return run(p.parse_args())
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -331,3 +331,43 @@ class TestRuslanDataset:
         for i in range(len(ds)):
             frames, phonemes = ds.lengths(i)
             assert frames > 0 and phonemes > 0
+
+    def test_cache_byte_bound_evicts(self, synth_corpus):
+        """In-RAM LRU honors the byte budget, not just the entry count
+        (reference dataset.py:108-110: 30k entries AND 8 GB)."""
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        # tiny byte budget: only the most recent entry survives
+        ds._memory_cache_max_bytes = 1  # force eviction of everything stored
+        for i in range(len(ds)):
+            ds.get_features(i, np.random.default_rng(0))
+        assert len(ds._memory_cache) == 0
+        assert ds._memory_cache_bytes == 0
+
+    def test_cache_stats_latency_counters(self, synth_corpus):
+        """Per-tier hit counts and latency (reference dataset.py:111-121)."""
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        ds.get_features(0, np.random.default_rng(0))   # miss (computes)
+        ds.get_features(0, np.random.default_rng(0))   # memory hit
+        ds2 = RuslanDataset(str(synth_corpus), cfg)    # fresh RAM cache
+        ds2.get_features(0, np.random.default_rng(0))  # disk hit
+        s1, s2 = ds.cache_stats(), ds2.cache_stats()
+        assert s1["mem_hits"] >= 1 and s1["mem_latency_ms"] > 0
+        assert s2["disk_hits"] >= 1 and s2["disk_latency_ms"] > 0
+        assert s1["memory_mb"] > 0
+
+    def test_cache_bytes_track_entries(self, synth_corpus):
+        cfg = get_smoke_test_config(
+            data_dir=str(synth_corpus), use_speed_perturbation=False
+        )
+        ds = RuslanDataset(str(synth_corpus), cfg)
+        for i in range(len(ds)):
+            ds.get_features(i, np.random.default_rng(0))
+        expect = sum(ds._entry_bytes.values())
+        assert ds._memory_cache_bytes == expect
+        assert len(ds._entry_bytes) == len(ds._memory_cache)

@@ -198,3 +198,31 @@ class TestTrainerDataParallel:
         metrics = t.validate_epoch(0)
         assert np.isfinite(metrics["mel"])
         assert np.isfinite(metrics["spectral_convergence"])
+
+
+class TestBatchDimQuantization:
+    """Single-device batch dims quantize to a multiple of 4 so the frame-budget
+    packer's variable batch sizes don't each compile a fresh XLA program."""
+
+    def test_single_device_rounds_to_four(self, corpus, tmp_path):
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        cfg = _dp_config(corpus, tmp_path / "quant", None)
+        cfg.mesh_shape = None
+        t = KokoroTrainer(cfg)
+        assert t.dp_size in (1, 8)  # depends on visible devices
+        rng = np.random.default_rng(0)
+        batch = t._assemble([[0, 1, 2]], rng)  # 3 rows -> 4 (or mesh multiple)
+        assert batch["mel_specs"].shape[0] % 4 == 0
+        # padding rows masked
+        assert int(batch["mel_lengths"][-1]) == 0 or len(
+            [0, 1, 2]
+        ) == batch["mel_specs"].shape[0]
+
+    def test_mesh_multiple_still_respected(self, corpus, tmp_path):
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        t = KokoroTrainer(_dp_config(corpus, tmp_path / "quant8", (8,)))
+        rng = np.random.default_rng(0)
+        batch = t._assemble([[0, 1, 2]], rng)
+        assert batch["mel_specs"].shape[0] % 8 == 0

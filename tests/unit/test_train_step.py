@@ -204,3 +204,37 @@ class TestDataParallel:
             state, shard_batch(batch, mesh), jax.random.PRNGKey(0)
         )
         assert float(metrics["stepped"]) == 1.0
+
+
+class TestAccumulationTailDivisor:
+    """Exact tail-divisor semantics (reference trainer.py:3344-3362,
+    tests/unit/test_trainer_accumulation_divisor.py): a tail group with fewer
+    microbatches than gradient_accumulation_steps divides by the ACTUAL
+    count, not the configured one."""
+
+    def test_tail_group_divides_by_actual_count(self, setup):
+        cfg, model, opt, state, step_fn = setup
+        batch = make_batch()
+        key = jax.random.PRNGKey(7)
+        # stack 3 identical microbatches (tail of a configured-4 window)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (3,) + x.shape), batch
+        )
+        _, m3 = step_fn(state, stacked, key)
+        # averaging 3 identical microbatches must equal one microbatch up to
+        # per-microbatch dropout-key noise — NOT 3/4 of it (what dividing by
+        # the configured accumulation_steps=4 would give) and NOT 3x it
+        # (what summing without dividing would give)
+        _, m1 = step_fn(state, batch, key)
+        assert float(m3["total"]) == pytest.approx(float(m1["total"]), rel=0.05)
+        assert abs(float(m3["total"]) / float(m1["total"]) - 0.75) > 0.1
+        assert float(m3["total"]) < 2.0 * float(m1["total"])
+
+    def test_divisor_at_least_one(self, setup):
+        cfg, model, opt, state, step_fn = setup
+        batch = make_batch()
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (1,) + x.shape), batch
+        )
+        _, m = step_fn(state, stacked, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["total"]))
