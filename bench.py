@@ -60,7 +60,10 @@ def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
     ]
     lines = []
     for i in range(n_utts):
-        dur_s = float(rng.uniform(1.0, 5.5))
+        # one audio length bucket (3.0-3.7 s at the 16384-sample granularity):
+        # ONE jitted feature-extractor compile for the whole corpus; true
+        # lengths still vary so masking/packing stay honest
+        dur_s = float(rng.uniform(3.0, 3.7))
         n = int(22050 * dur_s)
         t = np.arange(n) / 22050.0
         f0 = rng.uniform(90, 220)
@@ -75,18 +78,27 @@ def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
     (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
 
 
-def bench_end_to_end(tmp_root: Path, n_utts: int = 192, **overrides) -> float:
+def bench_end_to_end(tmp_root: Path, n_utts: int = 96, **overrides) -> float:
     """One real epoch through the trainer hot path; returns true mel-frames/s."""
+    import sys
+
+    import jax
+
+    # persistent compile cache: the first run pays the (few) bucket-shape
+    # compiles, every later run on the host reuses them
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from kokoro_tpu.config import get_high_performance_config
     from kokoro_tpu.training.trainer import KokoroTrainer
 
+    log = lambda *a: print("[e2e]", *a, file=sys.stderr, flush=True)
     corpus = tmp_root / "bench_corpus"
     if not (corpus / "metadata.csv").exists():
         _build_bench_corpus(corpus, n_utts=n_utts)
     base = dict(
         data_dir=str(corpus),
         output_dir=str(tmp_root / "bench_out"),
-        num_epochs=2,
+        num_epochs=4,
         use_mfa=False,
         use_speed_perturbation=False,  # perturbation bypasses the cache
         validation_split=0.05,
@@ -94,29 +106,50 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 192, **overrides) -> float:
         save_every=10**9,
         log_every_steps=10**9,
         warmup_steps=10,
-        # small closed bucket tables bound the number of distinct compiled
-        # shapes; with quantized batch dims the whole epoch compiles ~6-10
-        # programs (cached persistently in /tmp/jax_cache)
-        max_seq_length=512,
-        mel_bucket_sizes=(256, 384, 512),
-        phoneme_bucket_sizes=(48, 96),
+        # single-bucket tables bound the compile count: the whole e2e phase
+        # compiles ~4 programs (extractor, init, state, train step), all
+        # cached persistently in /tmp/jax_cache
+        max_seq_length=384,
+        mel_bucket_sizes=(384,),
+        phoneme_bucket_sizes=(96,),
         histogram_every_steps=0,
         scan_steps=4,
     )
     base.update(overrides)
     cfg = get_high_performance_config(**base)
+    t_setup = time.perf_counter()
     trainer = KokoroTrainer(cfg)
+    log(f"trainer setup {time.perf_counter() - t_setup:.1f}s")
     # Epoch 0: populate the feature cache + compile every bucket shape.
-    trainer.train_epoch(0)
+    # The remote-compile transport can flake transiently (HTTP body errors);
+    # one retry re-dispatches with everything already cached.
+    t_warm = time.perf_counter()
+    for attempt in (1, 2):
+        try:
+            trainer.train_epoch(0)
+            break
+        except Exception as err:
+            log(f"warm epoch attempt {attempt} failed: {err}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
+    log(f"warm epoch (cache fill + compiles) {time.perf_counter() - t_warm:.1f}s")
     # True (unpadded) frames in one epoch of the train split:
     total_frames = sum(
         trainer.train_dataset.lengths(i)[0]
         for i in range(len(trainer.train_dataset))
     )
-    t0 = time.perf_counter()
-    trainer.train_epoch(1)
-    _ = float(trainer.state.opt_step)  # value fetch = true device barrier
-    elapsed = time.perf_counter() - t0
+    # min-of-3 epochs: transport jitter only ever adds time (same discipline
+    # as the compute-only min-of-N)
+    times = []
+    for e in (1, 2, 3):
+        t0 = time.perf_counter()
+        trainer.train_epoch(e)
+        _ = float(trainer.state.opt_step)  # value fetch = true device barrier
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    log(f"measured epochs {[round(t, 2) for t in times]}s, "
+        f"{total_frames} true frames")
     return total_frames / elapsed
 
 

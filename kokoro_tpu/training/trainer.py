@@ -441,6 +441,10 @@ class KokoroTrainer:
         scan_k = max(1, cfg.scan_steps)
         self._epoch_sums: Dict[str, float] = {}
         self._epoch_steps = 0
+        self._metric_queue: List = []
+        # host-side step counter for log x-axes (avoids a device fetch per
+        # chunk; drifts from opt_step only on skipped steps, which also warn)
+        self._host_step = int(self.state.opt_step)
         interbatch_t0 = time.time()
         self._interbatch = None
         if cfg.enable_interbatch_profiling:
@@ -493,6 +497,7 @@ class KokoroTrainer:
 
         # consume the epoch's rng stream deterministically per step
         del step_rng
+        self._drain_metrics()
         n_steps = self._epoch_steps
         elapsed = time.time() - interbatch_t0
         if cfg.enable_interbatch_profiling:
@@ -509,7 +514,12 @@ class KokoroTrainer:
     def _run_steps(
         self, batch: Dict[str, np.ndarray], scan_k: int, spec_augment: bool
     ) -> None:
-        """Execute 1 or scan_k optimizer steps and log their metrics."""
+        """Dispatch 1 or scan_k optimizer steps; metric fetching is DEFERRED.
+
+        A ``device_get`` after every dispatch would stall the XLA queue on the
+        host round-trip (the dominant cost on tunneled transports); instead
+        metrics stay on-device in a small queue and drain in batches, so
+        device compute overlaps host batch assembly."""
         cfg = self.config
         # _step_seq is the dropout/SpecAugment RNG stream position; it is
         # persisted in checkpoint counters so a resumed run continues the
@@ -523,14 +533,29 @@ class KokoroTrainer:
             self._interbatch.start("step")
         device_batch = put_batch(batch, self.mesh)
         self.state, metrics = fn(self.state, device_batch, sub)
-        host = jax.device_get(metrics)  # one bulk transfer, not one per metric
         if self._interbatch is not None:
             self._interbatch.end("step")
+        self._metric_queue.append((scan_k, metrics, batch, self._host_step))
+        self._host_step += scan_k
         if getattr(self, "_trace_steps_left", 0) > 0:
             self._trace_steps_left -= scan_k
             if self._trace_steps_left <= 0:
                 self._stop_trace_if_active()
-        base_step = int(self.state.opt_step) - scan_k
+        if len(self._metric_queue) >= 4:
+            self._drain_metrics()
+
+    def _drain_metrics(self) -> None:
+        """Fetch queued on-device metrics and log them (bulk transfers)."""
+        cfg = self.config
+        queue, self._metric_queue = self._metric_queue, []
+        for scan_k, metrics, batch, base_step in queue:
+            host = jax.device_get(metrics)  # one bulk transfer per chunk
+            self._log_chunk(host, scan_k, batch, base_step)
+
+    def _log_chunk(
+        self, host, scan_k: int, batch: Dict[str, np.ndarray], base_step: int
+    ) -> None:
+        cfg = self.config
         skipped_any = False
         for i in range(scan_k):
             step = base_step + i + 1

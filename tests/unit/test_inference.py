@@ -255,3 +255,112 @@ class TestTTSHelpers:
         mel[:5] = -4.0
         out = KokoroTTS._trim_trailing_silence(mel)
         assert out.shape[0] >= 60
+
+
+class TestGeneratorStopLogic:
+    """Stop/energy/bounds semantics (reference generator.py:70-115,
+    model.py:743-750), driven by surgically edited stop-head / mel-head
+    biases on a real tiny model."""
+
+    @pytest.fixture(scope="class")
+    def base(self):
+        model = tiny_model()
+        rng = np.random.default_rng(1)
+        L, T = 6, 24
+        batch = dict(
+            phoneme_indices=jnp.asarray(rng.integers(1, VOCAB, (1, L))),
+            stress_indices=jnp.asarray(rng.integers(0, 3, (1, L))),
+            mel_specs=jnp.asarray(rng.normal(size=(1, T, 8)).astype(np.float32)),
+            phoneme_durations=jnp.asarray(rng.integers(1, 4, (1, L))),
+        )
+        params = model.init(jax.random.PRNGKey(0), **batch, deterministic=True)
+        inputs = dict(
+            phoneme_indices=batch["phoneme_indices"],
+            stress_indices=batch["stress_indices"],
+            text_padding_mask=jnp.zeros((1, 6), bool),
+        )
+        return model, params, inputs
+
+    @staticmethod
+    def _with_bias(params, path_key, value):
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params)
+        flat = {
+            k: (jnp.full_like(v, value) if path_key in k and k[-1] == "bias" else v)
+            for k, v in flat.items()
+        }
+        return flax.traverse_util.unflatten_dict(flat)
+
+    @staticmethod
+    def _pin_durations(params, frames_per_phoneme):
+        """Zero the duration head kernel and set its bias to
+        log1p(frames_per_phoneme): every phoneme predicts exactly that many
+        frames, making `expected` deterministic."""
+        import math as _math
+
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params)
+        out = {}
+        for k, v in flat.items():
+            if "duration_predictor" in k and k[-2] == "linear":
+                if k[-1] == "kernel":
+                    v = jnp.zeros_like(v)
+                else:
+                    v = jnp.full_like(v, _math.log1p(frames_per_phoneme))
+            out[k] = v
+        return flax.traverse_util.unflatten_dict(out)
+
+    def test_eager_stop_head_stops_at_min_expected(self, base):
+        model, params, inputs = base
+        eager = self._with_bias(params, "stop_token_predictor", 50.0)
+        eager = self._pin_durations(eager, 3)   # expected = 18 frames
+        gen = make_generate_fn(model, max_frames=64)
+        mel, length, expected = gen(eager, **inputs)
+        assert int(expected) == 18
+        min_expected = max(12, int(0.7 * 18))   # = 12
+        assert int(length) == min_expected + 1  # stops on the first eligible step
+
+    def test_reluctant_stop_head_runs_to_max(self, base):
+        model, params, inputs = base
+        never = self._with_bias(params, "stop_token_predictor", -50.0)
+        # keep mel output well above the energy floor so only the max bound ends it
+        never = self._with_bias(never, "mel_projection_out", 0.0)
+        gen = make_generate_fn(model, max_frames=64)
+        mel, length, expected = gen(never, **inputs)
+        e = int(expected)
+        want_max = min(64, max(e + 80, 3 * e), 1600)
+        want_max = want_max if want_max > max(12, int(0.7 * e)) else min(64, max(12, int(0.7 * e)) + 1)
+        assert int(length) == want_max
+
+    def test_energy_early_stop(self, base):
+        """Mean of the last 30 frames < -9.5 ends generation
+        (reference generator.py:81-88)."""
+        model, params, inputs = base
+        silent = self._with_bias(params, "stop_token_predictor", -50.0)
+        silent = self._with_bias(silent, "mel_projection_out", -12.0)
+        silent = self._pin_durations(silent, 6)  # expected = 36 frames
+        gen = make_generate_fn(model, max_frames=64)
+        mel, length, expected = gen(silent, **inputs)
+        min_expected = max(12, int(0.7 * int(expected)))  # = 25
+        # fires at the first step where n_gen >= 30 and past min_expected
+        assert int(length) == max(30, min_expected + 1)
+
+    def test_final_clamp(self, base):
+        model, params, inputs = base
+        loud = self._with_bias(params, "mel_projection_out", 100.0)
+        gen = make_generate_fn(model, max_frames=48)
+        mel, length, _ = gen(loud, **inputs)
+        assert float(mel.max()) <= 2.0
+        quiet = self._with_bias(params, "mel_projection_out", -100.0)
+        mel, _, _ = gen(quiet, **inputs)
+        assert float(mel.min()) >= -11.5
+
+    def test_length_never_exceeds_cap(self, base):
+        model, params, inputs = base
+        never = self._with_bias(params, "stop_token_predictor", -50.0)
+        never = self._with_bias(never, "mel_projection_out", 0.0)
+        gen = make_generate_fn(model, max_frames=40)
+        _, length, _ = gen(never, **inputs)
+        assert int(length) <= 40
