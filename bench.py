@@ -78,7 +78,7 @@ def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
     (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
 
 
-def bench_end_to_end(tmp_root: Path, n_utts: int = 96, **overrides) -> float:
+def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
     """One real epoch through the trainer hot path; returns true mel-frames/s."""
     import sys
 
@@ -113,7 +113,10 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 96, **overrides) -> float:
         mel_bucket_sizes=(384,),
         phoneme_bucket_sizes=(96,),
         histogram_every_steps=0,
-        scan_steps=4,
+        # 101 utts -> 96 train = 6 identical (16, 384, 96) batches; scanning
+        # all 6 into ONE dispatch leaves per-epoch cost ~= a handful of
+        # transport round-trips
+        scan_steps=6,
     )
     base.update(overrides)
     cfg = get_high_performance_config(**base)

@@ -79,6 +79,19 @@ def calculate_training_losses(
     energy_huber_delta: float = 0.05,
 ) -> Dict[str, Any]:
     """Returns dict: total, mel, duration, stop, pitch, energy (all scalars)."""
+    # All loss arithmetic and reductions in float32 regardless of the model's
+    # compute dtype or the batch transfer dtype (bf16 accumulation over ~1e6
+    # elements loses ~2 decimal digits).
+    f32 = lambda x: None if x is None else x.astype(jnp.float32)
+    predicted_mel = f32(predicted_mel)
+    predicted_log_durations = f32(predicted_log_durations)
+    predicted_stop_logits = f32(predicted_stop_logits)
+    mel_specs = f32(mel_specs)
+    stop_token_targets = f32(stop_token_targets)
+    predicted_pitch = f32(predicted_pitch)
+    predicted_energy = f32(predicted_energy)
+    pitch_targets = f32(pitch_targets)
+    energy_targets = f32(energy_targets)
     T = mel_specs.shape[1]
     L = phoneme_durations.shape[1]
     mel_mask = jnp.arange(T)[None, :] < mel_lengths[:, None]          # (B, T)

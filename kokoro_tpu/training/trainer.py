@@ -443,8 +443,11 @@ class KokoroTrainer:
         self._epoch_steps = 0
         self._metric_queue: List = []
         # host-side step counter for log x-axes (avoids a device fetch per
-        # chunk; drifts from opt_step only on skipped steps, which also warn)
-        self._host_step = int(self.state.opt_step)
+        # chunk; drifts from opt_step only on skipped steps, which also warn).
+        # Initialized lazily: one device fetch on the FIRST epoch / after
+        # resume, then tracked host-side across epochs.
+        if not hasattr(self, "_host_step"):
+            self._host_step = int(self.state.opt_step)
         interbatch_t0 = time.time()
         self._interbatch = None
         if cfg.enable_interbatch_profiling:
@@ -531,7 +534,7 @@ class KokoroTrainer:
         fn = self._get_train_step(spec_augment, scan_k)
         if self._interbatch is not None:
             self._interbatch.start("step")
-        device_batch = put_batch(batch, self.mesh)
+        device_batch = put_batch(self._cast_transfer(batch), self.mesh)
         self.state, metrics = fn(self.state, device_batch, sub)
         if self._interbatch is not None:
             self._interbatch.end("step")
@@ -543,6 +546,19 @@ class KokoroTrainer:
                 self._stop_trace_if_active()
         if len(self._metric_queue) >= 4:
             self._drain_metrics()
+
+    def _cast_transfer(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Cast float batch tensors to ``batch_transfer_dtype`` before the
+        host->device copy (train path only; see config)."""
+        if self.config.batch_transfer_dtype == "float32":
+            return batch
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        return {
+            k: (v.astype(bf16) if v.dtype == np.float32 else v)
+            for k, v in batch.items()
+        }
 
     def _drain_metrics(self) -> None:
         """Fetch queued on-device metrics and log them (bulk transfers)."""
@@ -830,6 +846,7 @@ class KokoroTrainer:
         self.best_val_epoch = int(counters.get("best_val_epoch", -1))
         # continue the dropout/SpecAugment rng stream where it left off
         self._step_seq = int(counters.get("step_seq", 0))
+        self._host_step = int(self.state.opt_step)
         logger.info(
             "Resumed at epoch %d (opt step %d, best val %.4f)",
             self.start_epoch, int(self.state.opt_step), self.best_val_loss,

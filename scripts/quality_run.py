@@ -47,7 +47,7 @@ def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
     sr = 22050
     lines = []
     for i in range(n_utts):
-        n_words = int(rng.integers(3, 10))
+        n_words = int(rng.integers(6, 12))
         text_words = list(rng.choice(words, size=n_words))
         base_f0 = float(rng.uniform(100, 200))
         pieces = []
@@ -74,6 +74,12 @@ def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
             pieces.append((voiced + noise) * env)
             pieces.append(np.zeros(int(sr * rng.uniform(0.02, 0.08))))
         audio = np.concatenate(pieces)
+        # pad/trim to one audio length bucket (ONE extractor compile;
+        # true mel lengths still vary for masking/packing)
+        target = int(4.4 * sr)
+        if audio.shape[0] < target:
+            audio = np.pad(audio, (0, target - audio.shape[0]))
+        audio = audio[:target]
         audio += 0.01 * rng.standard_normal(audio.shape[0])
         audio = (0.8 * audio / np.abs(audio).max()).astype(np.float32)
         save_wav(wavs / f"q{i:04d}.wav", audio, sr)
@@ -106,6 +112,11 @@ def run(args) -> int:
             max_frames_per_batch=20000,
             max_batch_size=12,
             resume_checkpoint="auto",
+            # closed bucket tables bound compile count (same discipline as
+            # bench.py e2e); 4.4 s audio -> <= 380 mel frames
+            max_seq_length=384,
+            mel_bucket_sizes=(384,),
+            phoneme_bucket_sizes=(96, 128),
         )
         base.update(kw)
         return get_default_config(**base)

@@ -166,3 +166,159 @@ class TestCliConfigBuilding:
 
     def test_resume_flag(self):
         assert self._parse(["--resume", "auto"]).resume_checkpoint == "auto"
+
+
+class TestEmaDecayRecommendation:
+    """decay = exp(-ln2 / (steps_per_epoch * half_life_epochs)), clipped to
+    [0.9, 0.9999] (reference utils/ema.py:6-27)."""
+
+    def test_formula(self):
+        import math
+
+        from kokoro_tpu.training.optimizer import recommended_ema_decay
+
+        got = recommended_ema_decay(100, 2.0)
+        want = math.exp(-math.log(2.0) / 200)
+        assert got == pytest.approx(want, rel=1e-9)
+
+    def test_clip_low(self):
+        from kokoro_tpu.training.optimizer import recommended_ema_decay
+
+        assert recommended_ema_decay(1, 0.5) == 0.9  # tiny run clips up to 0.9
+
+    def test_clip_high(self):
+        from kokoro_tpu.training.optimizer import recommended_ema_decay
+
+        assert recommended_ema_decay(100000, 100.0) == 0.9999
+
+    def test_degenerate_inputs(self):
+        from kokoro_tpu.training.optimizer import recommended_ema_decay
+
+        assert recommended_ema_decay(0, 1.0) == 0.9999
+        assert recommended_ema_decay(100, 0.0) == 0.9999
+
+    def test_half_life_semantics(self):
+        """decay^(steps_per_epoch * k) == 1/2 by construction."""
+        from kokoro_tpu.training.optimizer import recommended_ema_decay
+
+        d = recommended_ema_decay(500, 1.0)
+        assert d**500 == pytest.approx(0.5, rel=1e-6)
+
+
+class TestWeightNormProjection:
+    """Post-step FFN weight-norm projection (reference trainer.py:844-913)."""
+
+    def _params(self, norm_val):
+        import jax.numpy as jnp
+
+        big = jnp.full((64, 64), norm_val / 64.0)  # frobenius ~ norm_val
+        return {
+            "params": {
+                "decoder_layer_0": {"ff": {"linear1": {"kernel": big}}},
+                "mel_projection_out": {"kernel": big},
+            }
+        }
+
+    def test_projects_only_ffn_kernels(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import apply_weight_norm_constraints
+
+        cfg = TrainingConfig(dec_ffn_max_weight_norm=10.0)
+        p = self._params(1000.0)
+        out = apply_weight_norm_constraints(p, cfg)
+        ffn = out["params"]["decoder_layer_0"]["ff"]["linear1"]["kernel"]
+        proj = out["params"]["mel_projection_out"]["kernel"]
+        assert float(jnp.linalg.norm(ffn)) == pytest.approx(10.0, rel=1e-4)
+        # non-FFN kernels untouched
+        assert float(jnp.linalg.norm(proj)) > 100.0
+
+    def test_under_ceiling_untouched(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import apply_weight_norm_constraints
+
+        cfg = TrainingConfig(dec_ffn_max_weight_norm=95.0)
+        p = self._params(5.0)
+        out = apply_weight_norm_constraints(p, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["decoder_layer_0"]["ff"]["linear1"]["kernel"]),
+            np.asarray(p["params"]["decoder_layer_0"]["ff"]["linear1"]["kernel"]),
+        )
+
+    def test_disabled_when_nonpositive(self):
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import apply_weight_norm_constraints
+
+        cfg = TrainingConfig(dec_ffn_max_weight_norm=0.0)
+        p = self._params(1000.0)
+        assert apply_weight_norm_constraints(p, cfg) is p
+
+
+class TestGradExplosionDetector:
+    def test_inert_before_min_ema_steps(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import (
+            GradExplosionState,
+            grad_explosion_threshold,
+        )
+
+        cfg = TrainingConfig(grad_explosion_min_ema_steps=100)
+        st = GradExplosionState(jnp.asarray(1.0), jnp.asarray(5))
+        thr = grad_explosion_threshold(st, jnp.asarray(5), cfg)
+        assert float(thr) == float("inf")
+
+    def test_floor_decays_linearly(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import (
+            GradExplosionState,
+            grad_explosion_threshold,
+        )
+
+        cfg = TrainingConfig(
+            grad_explosion_warmup_steps=400,
+            grad_explosion_warmup_floor=8000.0,
+            grad_explosion_final_floor=1000.0,
+            grad_explosion_min_ema_steps=0,
+        )
+        st = GradExplosionState(jnp.asarray(0.1), jnp.asarray(1000))
+        at0 = float(grad_explosion_threshold(st, jnp.asarray(0), cfg))
+        at200 = float(grad_explosion_threshold(st, jnp.asarray(200), cfg))
+        at400 = float(grad_explosion_threshold(st, jnp.asarray(400), cfg))
+        assert at0 == pytest.approx(8000.0)
+        assert at200 == pytest.approx(4500.0)
+        assert at400 == pytest.approx(1000.0)
+
+    def test_ema_multiplier_dominates_after_warmup(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import TrainingConfig
+        from kokoro_tpu.training.optimizer import (
+            GradExplosionState,
+            grad_explosion_threshold,
+        )
+
+        cfg = TrainingConfig(grad_explosion_min_ema_steps=0)
+        st = GradExplosionState(jnp.asarray(5000.0), jnp.asarray(1000))
+        thr = float(grad_explosion_threshold(st, jnp.asarray(10000), cfg))
+        assert thr == pytest.approx(15000.0)  # ema * 3 > final floor
+
+    def test_first_observation_seeds_ema(self):
+        import jax.numpy as jnp
+
+        from kokoro_tpu.training.optimizer import (
+            GradExplosionState,
+            update_grad_explosion_state,
+        )
+
+        st = GradExplosionState(jnp.asarray(0.0), jnp.asarray(0))
+        st = update_grad_explosion_state(st, jnp.asarray(7.0))
+        assert float(st.ema_norm) == 7.0
+        st = update_grad_explosion_state(st, jnp.asarray(0.0), decay=0.95)
+        assert float(st.ema_norm) == pytest.approx(6.65)

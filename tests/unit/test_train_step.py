@@ -238,3 +238,58 @@ class TestAccumulationTailDivisor:
         )
         _, m = step_fn(state, stacked, jax.random.PRNGKey(0))
         assert np.isfinite(float(m["total"]))
+
+
+class TestBatchTransferDtype:
+    """bf16 batch transfer (config.batch_transfer_dtype): target quantization
+    must not move losses beyond tolerance, and loss arithmetic must stay
+    float32 regardless of input dtypes."""
+
+    def test_bf16_batch_loss_close_to_f32(self, setup):
+        import ml_dtypes
+
+        cfg, model, opt, state, step_fn = setup
+        batch = make_batch()
+        key = jax.random.PRNGKey(3)
+        _, m32 = step_fn(state, batch, key)
+        bf16_batch = {
+            k: (np.asarray(v).astype(ml_dtypes.bfloat16)
+                if np.asarray(v).dtype == np.float32 else v)
+            for k, v in batch.items()
+        }
+        bf16_batch = {k: jnp.asarray(v) for k, v in bf16_batch.items()}
+        _, m16 = step_fn(state, bf16_batch, key)
+        assert float(m16["total"]) == pytest.approx(
+            float(m32["total"]), rel=2e-2
+        )
+        # loss outputs are float32 (no bf16 accumulation)
+        assert m16["total"].dtype == jnp.float32
+
+    def test_stop_targets_exact_in_bf16(self):
+        """Smoothed stop targets are powers of 0.5 — exactly representable."""
+        import ml_dtypes
+
+        from kokoro_tpu.training.losses import build_stop_token_targets
+
+        t = np.asarray(build_stop_token_targets(32, jnp.asarray([20])))
+        np.testing.assert_array_equal(
+            t.astype(ml_dtypes.bfloat16).astype(np.float32), t
+        )
+
+    def test_trainer_cast_helper(self):
+        import ml_dtypes
+
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        t = KokoroTrainer.__new__(KokoroTrainer)
+        t.config = get_smoke_test_config(batch_transfer_dtype="bfloat16")
+        batch = {
+            "mel_specs": np.zeros((2, 4, 8), np.float32),
+            "phoneme_indices": np.zeros((2, 3), np.int32),
+        }
+        out = t._cast_transfer(batch)
+        assert out["mel_specs"].dtype == ml_dtypes.bfloat16
+        assert out["phoneme_indices"].dtype == np.int32
+        # float32 mode is a no-op passthrough
+        t.config = get_smoke_test_config()
+        assert t._cast_transfer(batch) is batch

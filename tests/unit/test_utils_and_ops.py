@@ -199,3 +199,94 @@ class TestModelLoader:
 
         with pytest.raises(FileNotFoundError):
             ModelLoader(tmp_path / "nope").load()
+
+
+class TestSpecAugmentGating:
+    """SpecAugment epoch gating (reference trainer.py:2042-2055): before
+    spec_augment_start_epoch the loss fn omits the specaugment rng entirely;
+    the model then skips memory masking."""
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+
+        from kokoro_tpu.config import get_smoke_test_config
+        from kokoro_tpu.models.kokoro import KokoroModel
+        from kokoro_tpu.training.train_step import make_loss_fn
+
+        cfg = get_smoke_test_config(
+            use_spec_augment=True,
+            spec_augment_num_time_masks=4, spec_augment_num_freq_masks=4,
+            spec_augment_time_mask_max=8, spec_augment_freq_mask_max=16,
+        )
+        model = KokoroModel(
+            vocab_size=24, n_mels=8, hidden_dim=32, n_encoder_layers=1,
+            n_decoder_layers=1, n_heads=4, encoder_ff_dim=48, decoder_ff_dim=48,
+            variance_filter_size=16, gradient_checkpointing=False,
+            use_stochastic_depth=False, encoder_dropout=0.0,
+            decoder_dropout=0.0, decoder_input_dropout=0.0,
+            variance_dropout=0.0, use_spec_augment=True,
+            spec_augment_num_time_masks=4, spec_augment_num_freq_masks=4,
+            spec_augment_time_mask_max=8, spec_augment_freq_mask_max=16,
+        )
+        rng = np.random.default_rng(0)
+        B, L, T = 2, 5, 16
+        batch = {
+            "phoneme_indices": jnp.asarray(rng.integers(1, 24, (B, L)), jnp.int32),
+            "stress_indices": jnp.asarray(rng.integers(0, 3, (B, L)), jnp.int32),
+            "phoneme_durations": jnp.full((B, L), T // L, jnp.int32),
+            "mel_specs": jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32),
+            "pitch_targets": jnp.asarray(rng.uniform(size=(B, T)), jnp.float32),
+            "energy_targets": jnp.asarray(rng.uniform(size=(B, T)), jnp.float32),
+            "stop_token_targets": jnp.zeros((B, T), jnp.float32),
+            "mel_lengths": jnp.full((B,), T, jnp.int32),
+            "phoneme_lengths": jnp.full((B,), L, jnp.int32),
+        }
+        import jax as _jax
+
+        params = model.init(
+            _jax.random.PRNGKey(0),
+            phoneme_indices=batch["phoneme_indices"],
+            mel_specs=batch["mel_specs"],
+            phoneme_durations=batch["phoneme_durations"],
+            stress_indices=batch["stress_indices"],
+            pitch_targets=batch["pitch_targets"],
+            energy_targets=batch["energy_targets"],
+            deterministic=True,
+        )
+        return cfg, model, params, batch
+
+    def test_gated_off_equals_deterministic(self):
+        import jax
+
+        from kokoro_tpu.training.train_step import make_loss_fn
+
+        cfg, model, params, batch = self._setup()
+        loss_off = make_loss_fn(model, cfg, spec_augment=False)
+        l1, _ = loss_off(params, batch, jax.random.PRNGKey(1))
+        l2, _ = loss_off(params, batch, jax.random.PRNGKey(1), deterministic=True)
+        # all dropouts zero + SA gated off -> stochastic == deterministic
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    def test_gated_on_changes_loss(self):
+        import jax
+
+        from kokoro_tpu.training.train_step import make_loss_fn
+
+        cfg, model, params, batch = self._setup()
+        loss_on = make_loss_fn(model, cfg, spec_augment=True)
+        loss_off = make_loss_fn(model, cfg, spec_augment=False)
+        l_on, _ = loss_on(params, batch, jax.random.PRNGKey(1))
+        l_off, _ = loss_off(params, batch, jax.random.PRNGKey(1))
+        assert float(l_on) != pytest.approx(float(l_off), rel=1e-7)
+
+    def test_trainer_epoch_gate_boolean(self):
+        from kokoro_tpu.config import get_smoke_test_config
+
+        cfg = get_smoke_test_config(use_spec_augment=True,
+                                    spec_augment_start_epoch=3)
+        gate = lambda epoch: cfg.use_spec_augment and (
+            epoch + 1
+        ) >= cfg.spec_augment_start_epoch
+        assert not gate(0) and not gate(1)
+        assert gate(2) and gate(5)
