@@ -40,12 +40,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Checkpoint weight analysis
 # ---------------------------------------------------------------------------
 
+def _force_cpu_jax() -> None:
+    """Offline forensics must not touch the accelerator: restoring multi-GB
+    checkpoints through a remote-TPU transport takes minutes each.  The env
+    var alone is not authoritative on hosts where a TPU plugin self-registers;
+    jax.config is."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def load_checkpoint_params(path: Path):
+    """Restore to HOST numpy regardless of the devices the checkpoint was
+    saved on (a TPU-saved sharding must not require a TPU to analyze)."""
+    _force_cpu_jax()
+    import jax
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore((path / "state").resolve())
-    return state
+    state_path = (path / "state").resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(state_path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(state_path, restore_args=restore_args)
 
 
 def flatten_norms(tree, prefix="") -> dict:
