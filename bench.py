@@ -192,7 +192,9 @@ def main() -> None:
         use_stochastic_depth=config.use_stochastic_depth,
         stochastic_depth_rate=config.stochastic_depth_rate,
         gradient_checkpointing=config.gradient_checkpointing,
-        use_flash_attention=False,  # einsum beats the pallas kernel at T=896
+        # flash auto-gates: einsum below 1024 frames (fuses better in-model),
+        # pallas flash kernel at >= 1024 causal frames (2.4x at T=1280)
+        use_flash_attention=config.use_flash_attention,
         attention_weight_dropout=config.attention_weight_dropout,
         dtype=jnp.bfloat16,
         param_dtype=jnp.float32,

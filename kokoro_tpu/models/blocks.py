@@ -40,15 +40,44 @@ xavier_half = lambda: nn.initializers.variance_scaling(0.25, "fan_avg", "uniform
 _FLASH_BLOCK = 128  # sequence block for the pallas flash-attention kernel
 
 
-def _flash_supported(q_len: int, kv_len: int, head_dim: int) -> bool:
+_FLASH_MIN_LEN = 1024
+
+
+def _flash_supported(
+    q_len: int, kv_len: int, head_dim: int, causal: bool = True
+) -> bool:
+    """Measured policy (v5e, bf16 fwd+bwd, adaptive block_q ~ T/2):
+
+    * T=1280 causal self-attn: flash 35.8 ms vs einsum 88.1 ms — decisive.
+    * T=896: standalone flash 33.5 ms vs einsum 36.7 ms, but IN-MODEL the
+      full train step measures ~8% slower with flash (111k vs 120k
+      mel-frames/s) — the einsum path fuses better with the surrounding
+      projections at mid lengths.
+    * Short sequences (the 32-128 phoneme encoder) and non-causal
+      cross-attention: einsum wins outright.
+
+    So flash activates only for CAUSAL self-attention at >= 1024 frames,
+    where the O(T^2) memory savings and upper-triangle block skipping
+    dominate."""
     return (
         jax.default_backend() == "tpu"  # pallas mosaic kernels are TPU-only
+        and causal
         and q_len % _FLASH_BLOCK == 0
         and kv_len % _FLASH_BLOCK == 0
         and head_dim % 64 == 0
-        and q_len >= _FLASH_BLOCK
-        and kv_len >= _FLASH_BLOCK
+        and q_len >= _FLASH_MIN_LEN
+        and kv_len >= _FLASH_MIN_LEN
     )
+
+
+def _pick_block_q(T: int) -> int:
+    """Largest divisor of T in [128, 512] (measured on v5e at the flagship
+    shapes: block_q ~ T/2 runs ~5x faster than the kernel's 128 default —
+    33.5 ms vs 173 ms fwd+bwd at T=896 — and beats einsum attention)."""
+    for b in (512, 448, 384, 320, 256, 224, 192, 160, 128):
+        if T % b == 0:
+            return b
+    return _FLASH_BLOCK
 
 
 def _flash_attention(q, k, v, *, causal, scale, q_valid=None, kv_valid=None):
@@ -67,12 +96,13 @@ def _flash_attention(q, k, v, *, causal, scale, q_valid=None, kv_valid=None):
 
     B, H, Tq, Dh = q.shape
     Tk = k.shape[2]
-    block = _FLASH_BLOCK
+    bq = _pick_block_q(Tq)
+    bk = _FLASH_BLOCK  # block_k must be a multiple of 128
     block_sizes = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_k_dkv=block, block_q_dkv=block,
-        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
     segment_ids = None
     if q_valid is not None or kv_valid is not None:
@@ -236,16 +266,19 @@ class MultiHeadAttention(nn.Module):
             and kv_cache is None
             and not self.use_alibi  # kernel has no bias input
             and (deterministic or self.dropout == 0.0)
-            and _flash_supported(q.shape[2], k.shape[2], head_dim)
+            and _flash_supported(q.shape[2], k.shape[2], head_dim, causal)
         )
         if can_flash:
-            kv_valid = (
-                None if key_padding_mask is None else ~key_padding_mask.astype(bool)
-            )
+            # Causal self-attention needs NO key-padding mask when padding is
+            # a suffix (collate right-pads): a padded key at position j is
+            # only visible to queries at i >= j, which are themselves padded
+            # rows whose outputs are masked downstream.  Skipping SegmentIds
+            # removes the kernel's segment bookkeeping from the hot path
+            # (measured: in-model flash goes from losing to beating einsum).
             out = _flash_attention(
                 q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
                 causal=causal, scale=1.0 / float(head_dim) ** 0.5,
-                kv_valid=kv_valid,
+                kv_valid=None,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
             return self.w_o(out), new_cache

@@ -52,3 +52,35 @@ class TestAttentionDropoutSwitch:
         )
         # dropout rate 0 everywhere -> train == eval
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+class TestCausalSuffixPaddingInvariant:
+    def test_valid_rows_unaffected_by_key_padding_when_causal(self):
+        """The invariant that lets the flash path skip SegmentIds: with
+        suffix padding, causal attention's VALID query rows are identical
+        with and without the key-padding mask (a padded key j is only
+        visible to queries i >= j, all padded themselves)."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 12, 32)), jnp.float32)
+        attn = MultiHeadAttention(32, 4, 0.0)
+        params = attn.init(jax.random.PRNGKey(0), x, causal=True)
+        pad = jnp.asarray([[False] * 8 + [True] * 4])
+        with_mask, _ = attn.apply(params, x, causal=True, key_padding_mask=pad)
+        without, _ = attn.apply(params, x, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(with_mask)[0, :8], np.asarray(without)[0, :8],
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_invariant_breaks_without_causality(self):
+        """Sanity: non-causal attention DOES need the key mask."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 12, 32)), jnp.float32)
+        attn = MultiHeadAttention(32, 4, 0.0)
+        params = attn.init(jax.random.PRNGKey(0), x)
+        pad = jnp.asarray([[False] * 8 + [True] * 4])
+        with_mask, _ = attn.apply(params, x, key_padding_mask=pad)
+        without, _ = attn.apply(params, x)
+        assert not np.allclose(
+            np.asarray(with_mask)[0, :8], np.asarray(without)[0, :8]
+        )
