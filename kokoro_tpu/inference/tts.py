@@ -122,6 +122,7 @@ class KokoroTTS:
             use_stress_embedding=bool(meta.get("use_stress_embedding", True)),
             variance_filter_size=int(meta.get("variance_filter_size", 256)),
             n_variance_bins=int(meta.get("n_variance_bins", 256)),
+            use_variance_predictor=bool(meta.get("use_variance_predictor", True)),
             max_decoder_seq_len=int(meta.get("max_decoder_seq_len", 4000)),
             use_stochastic_depth=False,     # eval: no layer drop
             gradient_checkpointing=False,   # no remat in the decode loop

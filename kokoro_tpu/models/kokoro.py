@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from kokoro_tpu.models.blocks import DecoderBlock, EncoderBlock
 from kokoro_tpu.models.positional import add_positional_encoding
-from kokoro_tpu.models.variance import VarianceAdaptor
+from kokoro_tpu.models.variance import SimpleDurationAdaptor, VarianceAdaptor
 from kokoro_tpu.ops.specaugment import apply_spec_augment
 
 Dtype = Any
@@ -59,6 +59,10 @@ class KokoroModel(nn.Module):
     variance_kernel_size: int = 3
     variance_dropout: float = 0.1
     n_variance_bins: int = 256
+    # False selects the SimpleDurationAdaptor fallback: MLP duration predictor
+    # + gradient-preserving length_regulate, no pitch/energy (reference
+    # model.py:146-170, duration_adaptor.py:51-102)
+    use_variance_predictor: bool = True
     length_regulator_stop_gradient: bool = True
     gradient_checkpointing: bool = True
     # Encoder remat granularity: the encoder stack remats in this many
@@ -130,16 +134,24 @@ class KokoroModel(nn.Module):
         ]
         self.encoder_norm = nn.LayerNorm(name="encoder_norm", **common)
 
-        self.duration_adaptor = VarianceAdaptor(
-            hidden_dim=self.hidden_dim,
-            filter_size=self.variance_filter_size,
-            kernel_size=self.variance_kernel_size,
-            dropout=self.variance_dropout,
-            n_bins=self.n_variance_bins,
-            length_regulator_stop_gradient=self.length_regulator_stop_gradient,
-            name="variance_adaptor",
-            **common,
-        )
+        if self.use_variance_predictor:
+            self.duration_adaptor = VarianceAdaptor(
+                hidden_dim=self.hidden_dim,
+                filter_size=self.variance_filter_size,
+                kernel_size=self.variance_kernel_size,
+                dropout=self.variance_dropout,
+                n_bins=self.n_variance_bins,
+                length_regulator_stop_gradient=self.length_regulator_stop_gradient,
+                name="variance_adaptor",
+                **common,
+            )
+        else:
+            self.duration_adaptor = SimpleDurationAdaptor(
+                hidden_dim=self.hidden_dim,
+                dropout=self.encoder_dropout,
+                name="duration_adaptor",
+                **common,
+            )
 
         self.mel_projection_in = nn.Dense(
             self.hidden_dim, name="mel_projection_in", **common

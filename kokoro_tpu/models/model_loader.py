@@ -68,6 +68,7 @@ class ModelLoader:
             decoder_ff_dim=int(meta["decoder_ff_dim"]),
             qk_norm=bool(meta.get("qk_norm", True)),
             rel_pos_type=str(meta.get("rel_pos_type", "rope")),
+            use_variance_predictor=bool(meta.get("use_variance_predictor", True)),
             ffn_output_norm=bool(meta.get("ffn_output_norm", True)),
             use_stress_embedding=bool(meta.get("use_stress_embedding", True)),
             variance_filter_size=int(meta.get("variance_filter_size", 256)),

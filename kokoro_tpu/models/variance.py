@@ -104,6 +104,71 @@ class VariancePredictor(nn.Module):
         return out
 
 
+class SimpleDurationAdaptor(nn.Module):
+    """Fallback duration-only adaptor (reference duration_adaptor.py:51-102,
+    model.py:146-170): a small MLP duration predictor + gradient-preserving
+    ``length_regulate``; no pitch/energy predictions.
+
+    Selected by ``use_variance_predictor=False``.  Inference durations invert
+    the log1p training target with ``expm1`` clamped to >= 1 frame
+    (reference duration_adaptor.py:88-96 — using exp() was a reference bug
+    fixed there)."""
+
+    hidden_dim: int = 512
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        encoder_output: jnp.ndarray,          # (B, L, H)
+        max_frames: int,
+        mask: Optional[jnp.ndarray] = None,   # (B, L) True = padding
+        pitch_target: Optional[jnp.ndarray] = None,    # ignored
+        energy_target: Optional[jnp.ndarray] = None,   # ignored
+        duration_target: Optional[jnp.ndarray] = None,  # (B, L)
+        deterministic: bool = True,
+    ):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = encoder_output
+        # Linear(h, h) -> ReLU -> Dropout -> Linear(h, h/2) -> ReLU ->
+        # Dropout -> Linear(h/2, 1) (reference model.py:148-156)
+        h = nn.Dense(self.hidden_dim, kernel_init=xavier(),
+                     name="linear1", **common)(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.hidden_dim // 2, kernel_init=xavier(),
+                     name="linear2", **common)(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        dur_pred = nn.Dense(1, kernel_init=xavier(), name="linear3",
+                            **common)(h)[..., 0]
+        if mask is not None:
+            dur_pred = jnp.where(mask.astype(bool), 0.0, dur_pred)
+
+        if duration_target is not None:
+            durations = duration_target.astype(jnp.int32)
+        else:
+            durations = jnp.clip(
+                jnp.round(jnp.expm1(dur_pred)), 1, None
+            ).astype(jnp.int32)
+
+        from kokoro_tpu.ops.lengths import length_regulate
+
+        text_pad = (
+            mask.astype(bool) if mask is not None
+            else jnp.zeros(encoder_output.shape[:2], bool)
+        )
+        expanded, frame_mask = length_regulate(
+            encoder_output, durations, text_pad, max_frames,
+            stop_gradient=False,  # the Simple path preserves gradients
+        )
+        # No pitch/energy predictions (reference returns None; None keeps the
+        # pitch/energy losses at exactly zero)
+        return expanded, dur_pred, None, None, frame_mask
+
+
 class VarianceAdaptor(nn.Module):
     """Duration -> length-regulate -> pitch/energy -> embedding adaptor."""
 

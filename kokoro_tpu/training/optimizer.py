@@ -80,10 +80,10 @@ def label_for_path(path: tuple) -> str:
     if top == "stop_token_predictor":
         return "stop_head"
 
-    if top == "variance_adaptor":
+    if top in ("variance_adaptor", "duration_adaptor"):
         # pitch/energy embedding tables get their own LR group; every other
-        # variance predictor param is no-decay at base LR (reference :524-531,
-        # :570-575 -> decoder_other group with wd=0)
+        # adaptor param — including the SimpleDurationAdaptor fallback MLP —
+        # is no-decay at base LR (reference :524-531, :570-575)
         if "pitch_embedding" in path_str or "energy_embedding" in path_str:
             return "variance_embed"
         return "decoder_no_decay"

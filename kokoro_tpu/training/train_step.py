@@ -443,7 +443,10 @@ def make_eval_step(model: KokoroModel, config: TrainingConfig):
         metrics["spectral_convergence"] = spectral_convergence(
             out["predicted_mel"], batch["mel_specs"], mel_mask
         )
-        if batch.get("pitch_targets") is not None:
+        if (
+            batch.get("pitch_targets") is not None
+            and out["predicted_pitch"] is not None
+        ):
             metrics["f0_rmse"] = f0_rmse(
                 out["predicted_pitch"], batch["pitch_targets"][:, : mel_mask.shape[1]],
                 mel_mask,

@@ -273,6 +273,7 @@ class KokoroTrainer:
             variance_kernel_size=cfg.variance_kernel_size,
             variance_dropout=cfg.variance_dropout,
             n_variance_bins=cfg.n_variance_bins,
+            use_variance_predictor=cfg.use_variance_predictor,
             length_regulator_stop_gradient=cfg.length_regulator_stop_gradient,
             gradient_checkpointing=cfg.gradient_checkpointing,
             checkpoint_segments=cfg.checkpoint_segments,
@@ -610,6 +611,37 @@ class KokoroTrainer:
         if skipped_any:
             self._dump_debug_batch(batch, base_step + scan_k)
 
+    def _log_duration_diagnostics(self, out, micro, step: int) -> None:
+        """Verbose duration pred-vs-target stats + mask counts
+        (reference losses.py:50-92)."""
+        try:
+            L = micro["phoneme_indices"].shape[-1]
+            valid = np.arange(L)[None, :] < np.asarray(micro["phoneme_lengths"])[:, None]
+            pred = np.asarray(out["predicted_log_durations"])[valid]
+            targ = np.log1p(
+                np.asarray(micro["phoneme_durations"], np.float32)
+            )[valid]
+            pred = pred[np.isfinite(pred)]
+            targ = targ[np.isfinite(targ)]
+            dur_valid = valid & (np.asarray(micro["phoneme_durations"]) > 0)
+            logger.info(
+                "Duration pred @%d: mean=%.4f std=%.4f min=%.4f max=%.4f | "
+                "target: mean=%.4f std=%.4f min=%.4f max=%.4f | "
+                "phoneme mask positions=%d, duration_valid positions=%d",
+                step,
+                pred.mean() if pred.size else float("nan"),
+                pred.std() if pred.size else float("nan"),
+                pred.min() if pred.size else float("nan"),
+                pred.max() if pred.size else float("nan"),
+                targ.mean() if targ.size else float("nan"),
+                targ.std() if targ.size else float("nan"),
+                targ.min() if targ.size else float("nan"),
+                targ.max() if targ.size else float("nan"),
+                int(valid.sum()), int(dur_valid.sum()),
+            )
+        except Exception as err:
+            logger.debug("duration diagnostics failed: %s", err)
+
     def _stop_trace_if_active(self) -> None:
         if getattr(self, "_trace_active", False):
             try:
@@ -653,6 +685,8 @@ class KokoroTrainer:
                 "metrics/train_spectral_convergence",
                 float(metrics["spectral_convergence"]), step,
             )
+            if self.config.verbose:
+                self._log_duration_diagnostics(out, micro, step)
             if hasattr(self.writer, "add_histogram"):
                 flat = jax.tree_util.tree_flatten_with_path(grads)[0]
                 for path, value in flat:

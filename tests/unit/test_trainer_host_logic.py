@@ -163,3 +163,37 @@ class TestCastTransfer:
         assert c["optimizer_step"] == 7
         assert c["step_seq"] == 99
         assert c["epoch"] == 3
+
+
+class TestDurationDiagnostics:
+    def test_verbose_logs_stats(self, tmp_path, caplog):
+        t = bare_trainer(tmp_path, verbose=True)
+        micro = {
+            "phoneme_indices": np.zeros((2, 5), np.int32),
+            "phoneme_lengths": np.asarray([5, 3], np.int32),
+            "phoneme_durations": np.asarray(
+                [[2, 3, 2, 3, 2], [4, 4, 4, 0, 0]], np.int32
+            ),
+        }
+        out = {"predicted_log_durations": np.full((2, 5), 1.6, np.float32)}
+        with caplog.at_level(logging.INFO):
+            t._log_duration_diagnostics(out, micro, step=7)
+        msgs = [r.message for r in caplog.records]
+        assert any("Duration pred @7" in m for m in msgs)
+        joined = " ".join(msgs)
+        assert "phoneme mask positions=8" in joined
+        assert "duration_valid positions=8" in joined
+
+    def test_zero_duration_positions_excluded(self, tmp_path, caplog):
+        t = bare_trainer(tmp_path, verbose=True)
+        micro = {
+            "phoneme_indices": np.zeros((1, 4), np.int32),
+            "phoneme_lengths": np.asarray([4], np.int32),
+            "phoneme_durations": np.asarray([[2, 0, 3, 0]], np.int32),
+        }
+        out = {"predicted_log_durations": np.ones((1, 4), np.float32)}
+        with caplog.at_level(logging.INFO):
+            t._log_duration_diagnostics(out, micro, step=1)
+        joined = " ".join(r.message for r in caplog.records)
+        assert "phoneme mask positions=4" in joined
+        assert "duration_valid positions=2" in joined
