@@ -802,7 +802,7 @@ class KokoroTrainer:
         rng = np.random.default_rng(0)
         sums: Dict[str, float] = {}
         n = 0
-        first_batch = None
+        hist_batches: List[Dict[str, np.ndarray]] = []
         # Tail batches pad up to the full fixed size so every validation pass
         # reuses ONE compiled shape per (mel, phoneme) bucket; padding rows are
         # masked out of every metric.
@@ -826,16 +826,16 @@ class KokoroTrainer:
                 ),
                 pad_mel_to=forced_T, pad_phoneme_to=forced_L,
             )
-            if first_batch is None:
-                first_batch = batch
+            if len(hist_batches) < 4:
+                hist_batches.append(batch)
             metrics = self.eval_step(
                 self.state.ema_params, put_batch(batch, self.mesh)
             )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        if first_batch is not None:
-            self._log_val_spectrograms(first_batch)
+        if hist_batches:
+            self._log_val_spectrograms(hist_batches)
         avg = {k: v / max(n, 1) for k, v in sums.items()}
         step = int(self.state.opt_step)
         for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
@@ -886,61 +886,70 @@ class KokoroTrainer:
             self.start_epoch, int(self.state.opt_step), self.best_val_loss,
         )
 
-    def _log_val_spectrograms(self, batch: Dict[str, np.ndarray]) -> None:
-        """Predicted vs ground-truth validation spectrogram images
-        (reference trainer.py:1841-1842) plus prediction-distribution
-        histograms (reference trainer.py:1960-1974)."""
+    def _log_val_spectrograms(
+        self, batches: List[Dict[str, np.ndarray]]
+    ) -> None:
+        """Predicted vs ground-truth validation spectrogram images from the
+        first batch (reference trainer.py:1841-1842) plus
+        prediction-distribution histograms pooled over the validation set
+        (reference trainer.py:1960-1974 concatenates every batch)."""
         if not (hasattr(self.writer, "add_image")
                 or hasattr(self.writer, "add_histogram")):
             return
         try:
-            text_pad = (
-                np.arange(batch["phoneme_indices"].shape[1])[None, :]
-                >= batch["phoneme_lengths"][:, None]
-            )
-            out = self.model.apply(
-                self.state.ema_params,
-                phoneme_indices=batch["phoneme_indices"],
-                mel_specs=batch["mel_specs"],
-                phoneme_durations=batch["phoneme_durations"],
-                stress_indices=batch["stress_indices"],
-                text_padding_mask=text_pad,
-                pitch_targets=batch["pitch_targets"],
-                energy_targets=batch["energy_targets"],
-                deterministic=True,
-            )
-            out = jax.device_get(out)
             step = int(self.state.opt_step)
-            t = int(batch["mel_lengths"][0])
-            if hasattr(self.writer, "add_image"):
-                self.writer.add_image(
-                    "spectrogram/val_predicted",
-                    _mel_image(out["predicted_mel"][0, :t]), step,
+            hist: Dict[str, List[np.ndarray]] = {
+                "log_durations": [], "pitch": [], "energy": []
+            }
+            for i, batch in enumerate(batches):
+                text_pad = (
+                    np.arange(batch["phoneme_indices"].shape[1])[None, :]
+                    >= batch["phoneme_lengths"][:, None]
                 )
-                self.writer.add_image(
-                    "spectrogram/val_ground_truth",
-                    _mel_image(batch["mel_specs"][0, :t]), step,
+                out = self.model.apply(
+                    self.state.ema_params,
+                    phoneme_indices=batch["phoneme_indices"],
+                    mel_specs=batch["mel_specs"],
+                    phoneme_durations=batch["phoneme_durations"],
+                    stress_indices=batch["stress_indices"],
+                    text_padding_mask=text_pad,
+                    pitch_targets=batch["pitch_targets"],
+                    energy_targets=batch["energy_targets"],
+                    deterministic=True,
                 )
-            if hasattr(self.writer, "add_histogram"):
-                # masked prediction distributions over the batch
+                out = jax.device_get(out)
+                if i == 0 and hasattr(self.writer, "add_image"):
+                    t = int(batch["mel_lengths"][0])
+                    self.writer.add_image(
+                        "spectrogram/val_predicted",
+                        _mel_image(out["predicted_mel"][0, :t]), step,
+                    )
+                    self.writer.add_image(
+                        "spectrogram/val_ground_truth",
+                        _mel_image(batch["mel_specs"][0, :t]), step,
+                    )
                 frame_ok = (
                     np.arange(batch["mel_specs"].shape[1])[None, :]
                     < batch["mel_lengths"][:, None]
                 )
-                phon_ok = ~text_pad
-                T_pred = out["predicted_pitch"].shape[1]
-                self.writer.add_histogram(
-                    "val_predictions/log_durations",
-                    np.asarray(out["predicted_log_durations"])[phon_ok], step,
+                hist["log_durations"].append(
+                    np.asarray(out["predicted_log_durations"])[~text_pad]
                 )
-                self.writer.add_histogram(
-                    "val_predictions/pitch",
-                    np.asarray(out["predicted_pitch"])[frame_ok[:, :T_pred]], step,
-                )
-                self.writer.add_histogram(
-                    "val_predictions/energy",
-                    np.asarray(out["predicted_energy"])[frame_ok[:, :T_pred]], step,
-                )
+                if out["predicted_pitch"] is not None:
+                    T_pred = out["predicted_pitch"].shape[1]
+                    hist["pitch"].append(
+                        np.asarray(out["predicted_pitch"])[frame_ok[:, :T_pred]]
+                    )
+                    hist["energy"].append(
+                        np.asarray(out["predicted_energy"])[frame_ok[:, :T_pred]]
+                    )
+            if hasattr(self.writer, "add_histogram"):
+                for key, chunks in hist.items():
+                    if chunks:
+                        self.writer.add_histogram(
+                            f"val_predictions/{key}",
+                            np.concatenate(chunks), step,
+                        )
         except Exception as err:  # images are best-effort observability
             logger.debug("val spectrogram logging failed: %s", err)
 
