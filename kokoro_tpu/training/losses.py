@@ -198,3 +198,34 @@ def f0_rmse(
     se = jnp.where(valid, (pred_pitch - target_pitch) ** 2, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sqrt(jnp.sum(se) / count)
+
+
+def mel_cepstral_distortion(
+    pred_log_mel: jnp.ndarray,     # (B, T, M) natural-log mel
+    target_log_mel: jnp.ndarray,   # (B, T, M)
+    mel_mask: jnp.ndarray,         # (B, T) True = valid
+    n_coeffs: int = 13,
+) -> jnp.ndarray:
+    """Mel-cepstral distortion in dB (the BASELINE.json parity metric; the
+    reference computes only spectral convergence + F0 RMSE, so this is an
+    addition): DCT-II of the log-mel per frame, coefficients 1..n_coeffs
+    (c0 excluded — it is overall energy), standard Kubichek form
+    ``(10 / ln 10) * sqrt(2 * sum_k (dc_k)^2)`` averaged over valid frames.
+
+    Inputs are natural-log mels (the pipeline's ``log(mel + 1e-9)``); the
+    10/ln10 factor converts to dB."""
+    M = pred_log_mel.shape[-1]
+    # Orthonormal DCT-II basis (M, M): basis[k, n] = s_k cos(pi k (2n+1) / 2M)
+    n = jnp.arange(M)
+    k = jnp.arange(M)[:, None]
+    basis = jnp.cos(jnp.pi * k * (2 * n[None, :] + 1) / (2 * M))
+    scale = jnp.where(k == 0, jnp.sqrt(1.0 / M), jnp.sqrt(2.0 / M))
+    basis = (basis * scale).astype(jnp.float32)
+    c_pred = jnp.einsum("btm,km->btk", pred_log_mel.astype(jnp.float32), basis)
+    c_tgt = jnp.einsum("btm,km->btk", target_log_mel.astype(jnp.float32), basis)
+    dc = (c_pred - c_tgt)[..., 1 : n_coeffs + 1]
+    per_frame = (10.0 / jnp.log(10.0)) * jnp.sqrt(
+        2.0 * jnp.sum(dc**2, axis=-1) + 1e-12
+    )
+    valid = mel_mask.astype(jnp.float32)
+    return jnp.sum(per_frame * valid) / jnp.maximum(jnp.sum(valid), 1.0)

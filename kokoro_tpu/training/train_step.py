@@ -399,8 +399,12 @@ def make_eval_step(model: KokoroModel, config: TrainingConfig):
     """Validation step on EMA params (reference trainer.py:1771-1910).
 
     ONE model forward computes the losses AND the extra validation metrics
-    (spectral convergence, F0 RMSE) from the same outputs."""
-    from kokoro_tpu.training.losses import f0_rmse, spectral_convergence
+    (spectral convergence, F0 RMSE, MCD) from the same outputs."""
+    from kokoro_tpu.training.losses import (
+        f0_rmse,
+        mel_cepstral_distortion,
+        spectral_convergence,
+    )
 
     def eval_step(params, batch):
         text_pad, mel_pad = _batch_masks(batch)
@@ -441,6 +445,9 @@ def make_eval_step(model: KokoroModel, config: TrainingConfig):
         mel_mask = ~mel_pad
         metrics = dict(losses)
         metrics["spectral_convergence"] = spectral_convergence(
+            out["predicted_mel"], batch["mel_specs"], mel_mask
+        )
+        metrics["mcd"] = mel_cepstral_distortion(
             out["predicted_mel"], batch["mel_specs"], mel_mask
         )
         if (

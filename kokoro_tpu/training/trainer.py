@@ -847,6 +847,7 @@ class KokoroTrainer:
             "metrics/val_spectral_convergence", avg.get("spectral_convergence", 0.0), step
         )
         self.writer.add_scalar("metrics/val_f0_rmse", avg.get("f0_rmse", 0.0), step)
+        self.writer.add_scalar("metrics/val_mcd", avg.get("mcd", 0.0), step)
         logger.info(
             "Validation epoch %d: mel %.4f, spectral_conv %.4f, f0_rmse %.4f",
             epoch + 1, avg.get("mel", 0.0),

@@ -152,3 +152,52 @@ class TestValidationMetrics:
         got = float(f0_rmse(pred, tgt, mask))
         # SE over voiced frames: (0.5-0.5)^2 + (0.5-0.7)^2 = 0.04 over 2 frames
         np.testing.assert_allclose(got, np.sqrt(0.04 / 2), rtol=1e-5)
+
+
+class TestMelCepstralDistortion:
+    def test_zero_for_identical(self):
+        from kokoro_tpu.training.losses import mel_cepstral_distortion
+
+        mel = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 80)),
+                          jnp.float32)
+        mask = jnp.ones((2, 10), bool)
+        assert float(mel_cepstral_distortion(mel, mel, mask)) < 1e-3
+
+    def test_matches_scipy_dct_reference(self):
+        """Kubichek MCD: (10/ln10) * sqrt(2 * sum_{k=1..13} dc_k^2) with
+        orthonormal DCT-II coefficients, frame-averaged."""
+        from scipy.fftpack import dct
+
+        from kokoro_tpu.training.losses import mel_cepstral_distortion
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(1, 6, 80)).astype(np.float32)
+        b = rng.normal(size=(1, 6, 80)).astype(np.float32)
+        mask = np.ones((1, 6), bool)
+        got = float(mel_cepstral_distortion(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+        ca = dct(a, type=2, norm="ortho", axis=-1)
+        cb = dct(b, type=2, norm="ortho", axis=-1)
+        dc = (ca - cb)[..., 1:14]
+        want = np.mean((10.0 / np.log(10.0)) * np.sqrt(2.0 * (dc**2).sum(-1)))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_c0_energy_offset_ignored(self):
+        """A constant offset on every mel bin lands entirely in c0 and must
+        not contribute to MCD."""
+        from kokoro_tpu.training.losses import mel_cepstral_distortion
+
+        mel = jnp.asarray(np.random.default_rng(2).normal(size=(1, 5, 80)),
+                          jnp.float32)
+        shifted = mel + 3.0
+        mask = jnp.ones((1, 5), bool)
+        assert float(mel_cepstral_distortion(mel, shifted, mask)) < 1e-3
+
+    def test_masked_frames_excluded(self):
+        from kokoro_tpu.training.losses import mel_cepstral_distortion
+
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.normal(size=(1, 8, 80)), jnp.float32)
+        b = a.at[0, 4:].add(100.0)  # corrupt only masked frames
+        mask = jnp.asarray([[True] * 4 + [False] * 4])
+        assert float(mel_cepstral_distortion(a, b, mask)) < 1e-3

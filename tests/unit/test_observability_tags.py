@@ -62,6 +62,7 @@ SCALAR_FAMILIES = [
     "stats/lr_encoder", "stats/lr_decoder", "stats/lr_decoder_ffn",
     "stats/lr_decoder_attn", "stats/lr_stop_head", "stats/lr_variance_embed",
     "metrics/val_spectral_convergence", "metrics/val_f0_rmse",
+    "metrics/val_mcd",
     "metrics/train_spectral_convergence",
 ]
 
