@@ -108,7 +108,6 @@ class FeatureExtractor:
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from functools import partial
 
         from kokoro_tpu.ops.pitch import _masked_quantile, extract_pitch
         from kokoro_tpu.ops.stft import log_mel_spectrogram

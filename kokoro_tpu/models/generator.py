@@ -25,7 +25,7 @@ host launches one XLA program per utterance bucket, not one per frame.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ with no axis gymnastics; numerical equivalence vs torch is unit-tested.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

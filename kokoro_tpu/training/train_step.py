@@ -20,8 +20,7 @@ All branching is ``lax.cond``-style ``jnp.where`` on pytrees — no host syncs.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax
