@@ -90,21 +90,39 @@ def main() -> None:
     _ = float(wav[0])
     vocoder_s = time.perf_counter() - t0
 
-    total_s = decode_s + vocoder_s
+    # HiFi-GAN V1 vocoder RTF (the BASELINE.md target).  Random weights: conv
+    # compute cost is weight-independent, so the RTF is representative.
+    from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+
+    hifi = HiFiGANGenerator(HiFiGANConfig(), dtype=jnp.bfloat16)
+    mel_in = mel[0, :n_frames][None]  # (1, T, n_mels)
+    hifi_params = hifi.init(jax.random.PRNGKey(1), mel_in)
+    hifi_fn = jax.jit(lambda m: hifi.apply(hifi_params, m))
+    wav_h = hifi_fn(mel_in)
+    _ = float(wav_h[0, 0])
+    t0 = time.perf_counter()
+    wav_h = hifi_fn(mel_in)
+    _ = float(wav_h[0, 0])
+    hifigan_s = time.perf_counter() - t0
+
+    total_s = decode_s + hifigan_s
     rtf = total_s / audio_seconds
     x_realtime = 1.0 / rtf
+    gl_x_realtime = audio_seconds / (decode_s + vocoder_s)
     print(
         json.dumps(
             {
                 "metric": "synthesis_x_realtime",
                 "value": round(x_realtime, 2),
-                "unit": "x realtime (AR decode + Griffin-Lim, 1 chip)",
+                "unit": "x realtime (AR decode + HiFi-GAN V1, 1 chip)",
                 "vs_baseline": round(x_realtime / 1.0, 2),
                 "detail": {
                     "frames": n_frames,
                     "audio_s": round(audio_seconds, 2),
                     "decode_s": round(decode_s, 3),
-                    "vocoder_s": round(vocoder_s, 3),
+                    "hifigan_s": round(hifigan_s, 3),
+                    "griffin_lim_s": round(vocoder_s, 3),
+                    "griffin_lim_x_realtime": round(gl_x_realtime, 2),
                     "frames_per_s": round(n_frames / decode_s, 1),
                 },
             }
