@@ -37,12 +37,17 @@ frame budget x2 as allowed by the preset).
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 18000.0  # BASELINE.md derived MPS reference
+
+
+class E2ETimeout(Exception):
+    """Raised by the SIGALRM budget guard around the e2e phase."""
 
 
 def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
@@ -131,6 +136,8 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
         try:
             trainer.train_epoch(0)
             break
+        except E2ETimeout:
+            raise  # the budget guard must abort, not retry
         except Exception as err:
             log(f"warm epoch attempt {attempt} failed: {err}")
             if attempt == 2:
@@ -249,8 +256,25 @@ def main() -> None:
     frames_per_sec = B * T * K / best
 
     # ---- end-to-end epoch over the real data pipeline ----
+    # Hard internal budget: the e2e phase pays one-time remote compiles
+    # (~7-9 min on tunneled hosts); if an outer harness kills the process
+    # mid-phase the compute-only number would be lost too.  SIGALRM bounds
+    # the phase so the JSON line ALWAYS prints.
+    import signal
+
+    budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "540"))
+
+    def _on_alarm(signum, frame):
+        raise E2ETimeout(f"e2e phase exceeded {budget_s}s budget")
+
     try:
-        e2e = bench_end_to_end(Path("/tmp/kokoro_bench"))
+        old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget_s)
+        try:
+            e2e = bench_end_to_end(Path("/tmp/kokoro_bench"))
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
     except Exception as err:  # never lose the compute-only number
         import traceback
 
