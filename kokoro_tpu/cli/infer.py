@@ -16,7 +16,7 @@ from pathlib import Path
 logger = logging.getLogger(__name__)
 
 
-def main() -> int:
+def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="kokoro-infer", description="Synthesize Russian speech"
     )
@@ -37,7 +37,7 @@ def main() -> int:
     parser.add_argument("--min-len-ratio", type=float, default=None)
     parser.add_argument("--interactive", action="store_true")
     parser.add_argument("--verbose", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(message)s",
@@ -45,15 +45,19 @@ def main() -> int:
 
     from kokoro_tpu.inference.tts import KokoroTTS
 
-    tts = KokoroTTS(
-        args.model,
-        vocoder_type=args.vocoder,
-        vocoder_path=args.vocoder_path,
-        use_ema_weights=args.weights,
-        max_len=args.max_len,
-        stop_threshold=args.stop_threshold,
-        min_len_ratio=args.min_len_ratio,
-    )
+    try:
+        tts = KokoroTTS(
+            args.model,
+            vocoder_type=args.vocoder,
+            vocoder_path=args.vocoder_path,
+            use_ema_weights=args.weights,
+            max_len=args.max_len,
+            stop_threshold=args.stop_threshold,
+            min_len_ratio=args.min_len_ratio,
+        )
+    except (FileNotFoundError, ValueError) as err:
+        logging.error("Could not load model from %s: %s", args.model, err)
+        return 1
 
     if args.interactive:
         # REPL (reference inference.py:818-843)
