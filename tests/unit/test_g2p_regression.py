@@ -230,3 +230,46 @@ class TestNormalizationInvariants:
     def test_latin_text_does_not_crash(self, proc):
         out = proc.process_text("hello мир")
         assert isinstance(out, list)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/reference/src").exists(),
+    reason="reference checkout not available",
+)
+class TestReferenceWordForWordParity:
+    def test_full_wordlist_agreement(self):
+        """Word-for-word parity with the reference processor over the full
+        286-word rule-family list (see scripts/g2p_parity_report.py /
+        docs/G2P_PARITY.md: measured 100%)."""
+        import importlib.util
+        import sys
+        from pathlib import Path
+
+        script = Path(__file__).resolve().parents[2] / "scripts" / "g2p_parity_report.py"
+        spec = importlib.util.spec_from_file_location("g2p_report", script)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        sys.path.insert(0, "/root/reference/src")
+        from kokoro.data.russian_phoneme_processor import (
+            RussianPhonemeProcessor as Ref,
+        )
+
+        ours, ref = RussianPhonemeProcessor(), Ref()
+        diffs = [
+            w for w in mod.WORDS
+            if list(ours.process_word(w)[0]) != list(ref.process_word(w)[0])
+        ]
+        assert diffs == [], f"{len(diffs)} divergences: {diffs[:10]}"
+
+    def test_vocab_identical(self):
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        from kokoro.data.russian_phoneme_processor import (
+            RussianPhonemeProcessor as Ref,
+        )
+
+        ours, ref = RussianPhonemeProcessor(), Ref()
+        assert ours.get_phoneme_list() == ref.get_phoneme_list()
+        assert ours.get_vocab_size() == ref.get_vocab_size()
