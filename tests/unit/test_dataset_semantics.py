@@ -68,9 +68,10 @@ class TestMetadataParsing:
 
 class TestMaxSeqClipping:
     def test_long_audio_clipped_to_max_seq(self, tmp_path):
-        cfg = get_smoke_test_config(use_speed_perturbation=False)
         # smoke config max_seq_length=128 -> 128*256/22050 = 1.49 s
         corpus = _make_corpus(tmp_path, [("long", "очень длинный текст", 3.0)])
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus), use_speed_perturbation=False)
         ds = RuslanDataset(str(corpus), cfg)
         f = ds.get_features(0, np.random.default_rng(0))
         assert int(f["mel_length"]) == cfg.max_seq_length
@@ -79,8 +80,9 @@ class TestMaxSeqClipping:
         assert int(f["phoneme_durations"].sum()) == cfg.max_seq_length
 
     def test_lengths_metadata_matches_features(self, tmp_path):
-        cfg = get_smoke_test_config(use_speed_perturbation=False)
         corpus = _make_corpus(tmp_path, [("m", "привет мир", 0.6)])
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus), use_speed_perturbation=False)
         ds = RuslanDataset(str(corpus), cfg)
         frames_meta, phon_meta = ds.lengths(0)
         f = ds.get_features(0, np.random.default_rng(0))
@@ -110,8 +112,9 @@ class TestFallbackDurations:
 
 class TestFeatureAlignment:
     def test_pitch_energy_length_match_mel(self, tmp_path):
-        cfg = get_smoke_test_config(use_speed_perturbation=False)
         corpus = _make_corpus(tmp_path, [("al", "как дела сегодня", 0.8)])
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus), use_speed_perturbation=False)
         ds = RuslanDataset(str(corpus), cfg)
         f = ds.get_features(0, np.random.default_rng(0))
         T = int(f["mel_length"])
@@ -121,16 +124,18 @@ class TestFeatureAlignment:
         assert (f["energy"] <= 1.0).all() and (f["energy"] >= 0.0).all()
 
     def test_phoneme_and_stress_parallel(self, tmp_path):
-        cfg = get_smoke_test_config(use_speed_perturbation=False)
         corpus = _make_corpus(tmp_path, [("st", "москва́ зимой", 0.6)])
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus), use_speed_perturbation=False)
         ds = RuslanDataset(str(corpus), cfg)
         f = ds.get_features(0, np.random.default_rng(0))
         assert f["phoneme_indices"].shape == f["stress_indices"].shape
         assert set(np.unique(f["stress_indices"])).issubset({0, 1, 2})
 
     def test_vocab_indices_in_range(self, tmp_path):
-        cfg = get_smoke_test_config(use_speed_perturbation=False)
         corpus = _make_corpus(tmp_path, [("vx", "пятьдесят три года", 0.7)])
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus), use_speed_perturbation=False)
         ds = RuslanDataset(str(corpus), cfg)
         f = ds.get_features(0, np.random.default_rng(0))
         vocab = ds.phoneme_processor.get_vocab_size()
