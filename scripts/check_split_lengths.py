@@ -29,6 +29,8 @@ def main() -> int:
     train_idx, val_idx = train_val_split(len(ds), args.validation_split, args.seed)
 
     def stats(indices):
+        if not indices:
+            return {"n": 0}
         frames = np.array([ds.lengths(i)[0] for i in indices])
         phons = np.array([ds.lengths(i)[1] for i in indices])
         return {
@@ -42,8 +44,11 @@ def main() -> int:
     tr, va = stats(train_idx), stats(val_idx)
     print("train:", tr)
     print("val:  ", va)
-    drift = abs(tr["frames_mean"] - va["frames_mean"]) / max(tr["frames_mean"], 1)
-    print(f"mean-frame drift: {drift*100:.1f}%", "(OK)" if drift < 0.1 else "(WARN)")
+    if tr["n"] and va["n"]:
+        drift = abs(tr["frames_mean"] - va["frames_mean"]) / max(tr["frames_mean"], 1)
+        print(f"mean-frame drift: {drift*100:.1f}%", "(OK)" if drift < 0.1 else "(WARN)")
+    else:
+        print("split too small for drift statistics (empty side)")
     return 0
 
 

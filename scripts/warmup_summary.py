@@ -5,10 +5,18 @@ and STOCHASTIC_DEPTH_QUICK_REF.py style summaries)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# host-side table printer: never evaluate schedule scalars over a TPU
+# transport (the env var alone is not authoritative on axon hosts)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
