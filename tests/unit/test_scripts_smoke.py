@@ -66,7 +66,10 @@ class TestWarmupSummary:
     def test_prints_schedule(self):
         out = run_script("warmup_summary.py", "--total-steps", "100")
         assert out.returncode == 0, out.stdout + out.stderr
-        assert "warmup" in out.stdout.lower() or "lr" in out.stdout.lower()
+        # per-group LR table with every group row present
+        assert "group" in out.stdout
+        for label in ("encoder", "stop_head", "variance_embed"):
+            assert label in out.stdout
 
 
 class TestStochasticDepthSummary:
