@@ -116,41 +116,70 @@ def reference_log_mel(wav: np.ndarray) -> np.ndarray:
     return log_mel.T.to(torch.float32).numpy()             # (T, n_mels)
 
 
-def main() -> None:
-    sys.path.insert(0, str(REFERENCE_SRC))
+def make_extra_waveforms() -> dict:
+    """Qualitatively different audio classes stressing different code paths:
+    pure noise (fully unvoiced), near-silence (voicing/quantile floors),
+    AM-modulated low tone (energy dynamics + low f0)."""
+    rng = np.random.default_rng(77)
+    sr = SAMPLE_RATE
+    n = int(1.0 * sr)
+    t = np.arange(n) / sr
+    noise = (0.3 * rng.standard_normal(n)).astype(np.float32)
+    near_silence = (0.002 * rng.standard_normal(n)).astype(np.float32)
+    am = (
+        (0.5 + 0.45 * np.sin(2 * np.pi * 3.0 * t))
+        * np.sin(2 * np.pi * 95.0 * t)
+    ).astype(np.float32)
+    am /= np.abs(am).max()
+    return {"noise": noise, "near_silence": near_silence, "am_low_tone": am}
+
+
+def features_for(wav: np.ndarray) -> dict:
     from kokoro.model.variance_predictor import EnergyExtractor, PitchExtractor
 
-    wav = make_waveform()
     log_mel = reference_log_mel(wav)
-
     wav_t = torch.from_numpy(wav)
-    pitch = PitchExtractor.extract_pitch(
-        wav_t, sample_rate=SAMPLE_RATE, hop_length=HOP, fmin=50.0, fmax=800.0
-    ).numpy()
-    energy_mel = EnergyExtractor.extract_energy_from_mel(
-        torch.from_numpy(log_mel), log_domain=True
-    ).numpy()
-    energy_wav = EnergyExtractor.extract_energy_from_waveform(
-        wav_t, hop_length=HOP, win_length=WIN
-    ).numpy()
+    return {
+        "waveform": wav,
+        "log_mel": log_mel.astype(np.float32),
+        "pitch": PitchExtractor.extract_pitch(
+            wav_t, sample_rate=SAMPLE_RATE, hop_length=HOP,
+            fmin=50.0, fmax=800.0,
+        ).numpy().astype(np.float32),
+        "energy_mel": EnergyExtractor.extract_energy_from_mel(
+            torch.from_numpy(log_mel), log_domain=True
+        ).numpy().astype(np.float32),
+        "energy_wav": EnergyExtractor.extract_energy_from_waveform(
+            wav_t, hop_length=HOP, win_length=WIN
+        ).numpy().astype(np.float32),
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, str(REFERENCE_SRC))
 
     out_dir = REPO / "tests" / "golden"
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    feats = features_for(make_waveform())
     out = out_dir / "audio_features.npz"
     np.savez_compressed(
-        out,
-        waveform=wav,
-        log_mel=log_mel.astype(np.float32),
-        pitch=pitch.astype(np.float32),
-        energy_mel=energy_mel.astype(np.float32),
-        energy_wav=energy_wav.astype(np.float32),
+        out, **feats,
         sample_rate=SAMPLE_RATE, n_fft=N_FFT, hop_length=HOP,
         win_length=WIN, n_mels=N_MELS, f_min=F_MIN, f_max=F_MAX,
     )
     print(f"wrote {out} ({out.stat().st_size / 1024:.0f} KiB)")
-    print(f"  log_mel {log_mel.shape}, pitch {pitch.shape}, "
-          f"energy {energy_mel.shape}")
-    print(f"  voiced frames: {(pitch > 0).sum()}/{pitch.shape[-1]}")
+    print(f"  voiced frames: {(feats['pitch'] > 0).sum()}/{feats['pitch'].shape[-1]}")
+
+    extra = {}
+    for name, wav in make_extra_waveforms().items():
+        for k, v in features_for(wav).items():
+            extra[f"{name}__{k}"] = v
+        print(f"  {name}: voiced "
+              f"{(extra[f'{name}__pitch'] > 0).sum()}/{extra[f'{name}__pitch'].shape[-1]}")
+    out2 = out_dir / "audio_features_extra.npz"
+    np.savez_compressed(out2, **extra)
+    print(f"wrote {out2} ({out2.stat().st_size / 1024:.0f} KiB)")
 
 
 if __name__ == "__main__":

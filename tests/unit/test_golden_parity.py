@@ -119,3 +119,62 @@ class TestEnergyGolden:
 
         auto = np.asarray(extract_energy_from_mel(jnp.asarray(gold["log_mel"])))
         np.testing.assert_allclose(auto, gold["energy_mel"], rtol=1e-4, atol=1e-4)
+
+
+EXTRA = Path(__file__).resolve().parents[1] / "golden" / "audio_features_extra.npz"
+
+
+@pytest.fixture(scope="module")
+def gold_extra():
+    assert EXTRA.exists(), "run scripts/make_golden_features.py"
+    return np.load(EXTRA)
+
+
+class TestGoldenAudioClasses:
+    """Parity across qualitatively different audio: pure noise (fully
+    unvoiced), near-silence (quantile floors), AM low tone (low f0 + energy
+    dynamics) — each stresses a different branch of the extractors."""
+
+    @pytest.mark.parametrize("name", ["noise", "near_silence", "am_low_tone"])
+    def test_log_mel(self, gold_extra, name):
+        from kokoro_tpu.ops.stft import log_mel_spectrogram
+
+        wav = gold_extra[f"{name}__waveform"]
+        ref = gold_extra[f"{name}__log_mel"]
+        ours = np.asarray(log_mel_spectrogram(jnp.asarray(wav)))
+        close = np.isclose(ours, ref, rtol=1e-3, atol=2e-2)
+        lin_close = np.isclose(np.exp(ours), np.exp(ref), rtol=1e-3, atol=1e-6)
+        assert (~(close | lin_close)).mean() < 1e-3, name
+
+    @pytest.mark.parametrize("name", ["noise", "near_silence", "am_low_tone"])
+    def test_pitch_voicing_decisions(self, gold_extra, name):
+        from kokoro_tpu.ops.pitch import extract_pitch
+
+        wav = gold_extra[f"{name}__waveform"]
+        ref = gold_extra[f"{name}__pitch"]
+        ours = np.asarray(extract_pitch(jnp.asarray(wav)))
+        T = min(ours.shape[-1], ref.shape[-1])
+        ours, ref = ours[:T], ref[:T]
+        agree = np.mean((ours > 0) == (ref > 0))
+        assert agree > 0.9, f"{name}: voicing agreement {agree:.3f}"
+        both = (ours > 0) & (ref > 0)
+        if both.sum() > 10:
+            rmse = float(np.sqrt(np.mean((ours[both] - ref[both]) ** 2)))
+            assert rmse < 0.03, f"{name}: rmse {rmse:.4f}"
+
+    @pytest.mark.parametrize("name", ["noise", "near_silence", "am_low_tone"])
+    def test_energy(self, gold_extra, name):
+        from kokoro_tpu.ops.energy import extract_energy_from_mel
+
+        ref_mel = gold_extra[f"{name}__log_mel"]
+        want = gold_extra[f"{name}__energy_mel"]
+        ours = np.asarray(
+            extract_energy_from_mel(jnp.asarray(ref_mel), log_domain=True)
+        )
+        np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-3)
+
+    def test_noise_is_fully_unvoiced_in_reference(self, gold_extra):
+        assert (gold_extra["noise__pitch"] == 0).all()
+
+    def test_am_tone_fully_voiced_in_reference(self, gold_extra):
+        assert (gold_extra["am_low_tone__pitch"] > 0).all()
