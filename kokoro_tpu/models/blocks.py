@@ -269,12 +269,19 @@ class MultiHeadAttention(nn.Module):
             and _flash_supported(q.shape[2], k.shape[2], head_dim, causal)
         )
         if can_flash:
-            # Causal self-attention needs NO key-padding mask when padding is
-            # a suffix (collate right-pads): a padded key at position j is
-            # only visible to queries at i >= j, which are themselves padded
-            # rows whose outputs are masked downstream.  Skipping SegmentIds
-            # removes the kernel's segment bookkeeping from the hot path
-            # (measured: in-model flash goes from losing to beating einsum).
+            # INVARIANT: key_padding_mask, if any, must mark only a SUFFIX of
+            # positions (right-padding).  Every caller satisfies this — collate
+            # (data/batching.py) right-pads, and the AR decode path never takes
+            # this branch (kv_cache is not None).  A future caller with
+            # interior padding would get silently wrong attention here; gate
+            # use_flash off for any such mask.
+            #
+            # Under suffix padding, causal self-attention needs NO mask at
+            # all: a padded key at position j is only visible to queries at
+            # i >= j, which are themselves padded rows whose outputs are
+            # masked downstream.  Skipping SegmentIds removes the kernel's
+            # segment bookkeeping from the hot path (measured: in-model flash
+            # goes from losing to beating einsum).
             out = _flash_attention(
                 q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
                 causal=causal, scale=1.0 / float(head_dim) ** 0.5,
@@ -290,7 +297,13 @@ class MultiHeadAttention(nn.Module):
 
         if self.use_alibi:
             # slope_h * (k_pos - q_pos), negative toward the past
-            # (reference _get_alibi_bias, transformers.py:185-208)
+            # (reference _get_alibi_bias, transformers.py:185-208).
+            # NOTE: for BIDIRECTIONAL (encoder) attention this gives growing
+            # POSITIVE bias to distant future keys — the ALiBi paper uses
+            # symmetric -slope*|distance| for the non-causal case.  This
+            # replicates the reference's trained-in quirk on purpose; do not
+            # "fix" it unilaterally or checkpoints diverge from the reference
+            # behavior.
             slopes = jnp.asarray(
                 [2.0 ** (-8.0 * (i + 1) / self.num_heads)
                  for i in range(self.num_heads)],

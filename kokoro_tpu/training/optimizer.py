@@ -265,10 +265,17 @@ def _make_warm_restarts_schedule(
     T_0 = max(int(config.lr_T_0), 1)
     T_mult = max(int(config.lr_T_mult), 1)
     eta_min = config.lr_eta_min
+    # The reference steps this scheduler once per EPOCH (scheduler_per_batch=
+    # False), so the LR is piecewise-constant within an epoch.  Our schedules
+    # are pure functions of the optimizer step; we recover the per-epoch
+    # stepping by flooring the fractional epoch.  steps_per_epoch is an
+    # ESTIMATE (total_steps // num_epochs) — exact when every epoch has the
+    # same optimizer-step count, off by at most the tail-batch rounding
+    # otherwise.
     steps_per_epoch = max(total_steps // max(config.num_epochs, 1), 1)
 
     def schedule(step):
-        epoch = jnp.asarray(step, jnp.float32) / steps_per_epoch
+        epoch = jnp.floor(jnp.asarray(step, jnp.float32) / steps_per_epoch)
         if T_mult == 1:
             t_cur = jnp.mod(epoch, T_0)
             t_i = jnp.asarray(T_0, jnp.float32)

@@ -306,6 +306,14 @@ def make_train_step(
         clip_norm = jnp.where(exploded, config.emergency_clip_norm, clip_norm)
 
         # ---- non-finite guard: skip the whole optimizer step ----
+        # Deliberate divergence (like adaptive_stabilization above): the
+        # reference filters non-finite values INSIDE each masked loss mean
+        # (reference losses.py:40-46), salvaging a partially-bad batch by
+        # training on its finite elements.  Element-wise isfinite gathers
+        # inside every loss would block XLA fusion on the hot path for an
+        # event that, when it fires, signals broken data or divergence —
+        # so we instead skip the whole optimizer step (params/opt/EMA do not
+        # advance, skipped_steps increments, the host dumps the batch).
         finite = jnp.isfinite(raw_norm) & jnp.isfinite(losses["total"])
 
         # ---- pre-clips then global clip ----

@@ -437,14 +437,14 @@ class KokoroTrainer:
         )
         batches = self.batcher.build_batches(epoch)
         rng = np.random.default_rng(cfg.seed + epoch)
-        step_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
         accum = max(1, cfg.gradient_accumulation_steps)
         scan_k = max(1, cfg.scan_steps)
         self._epoch_sums: Dict[str, float] = {}
         self._epoch_steps = 0
         self._metric_queue: List = []
         # host-side step counter for log x-axes (avoids a device fetch per
-        # chunk; drifts from opt_step only on skipped steps, which also warn).
+        # chunk); resynced from the true opt_step whenever a drained chunk
+        # reports a skipped step, so it can't drift after non-finite skips.
         # Initialized lazily: one device fetch on the FIRST epoch / after
         # resume, then tracked host-side across epochs.
         if not hasattr(self, "_host_step"):
@@ -499,8 +499,6 @@ class KokoroTrainer:
                 flush_pending()
         flush_pending()
 
-        # consume the epoch's rng stream deterministically per step
-        del step_rng
         self._drain_metrics()
         n_steps = self._epoch_steps
         elapsed = time.time() - interbatch_t0
@@ -565,13 +563,21 @@ class KokoroTrainer:
         """Fetch queued on-device metrics and log them (bulk transfers)."""
         cfg = self.config
         queue, self._metric_queue = self._metric_queue, []
+        saw_skip = False
         for scan_k, metrics, batch, base_step in queue:
             host = jax.device_get(metrics)  # one bulk transfer per chunk
-            self._log_chunk(host, scan_k, batch, base_step)
+            saw_skip |= self._log_chunk(host, scan_k, batch, base_step)
+        if saw_skip:
+            # Resync the host-side TB x-axis with the true optimizer step so
+            # step-indexed scalars can't drift permanently ahead of the
+            # opt_step-indexed epoch/val tags after a non-finite skip.  The
+            # queue was just drained, so this fetch waits on nothing extra.
+            self._host_step = int(self.state.opt_step)
 
     def _log_chunk(
         self, host, scan_k: int, batch: Dict[str, np.ndarray], base_step: int
-    ) -> None:
+    ) -> bool:
+        """Log one drained metric chunk; returns True if any step skipped."""
         cfg = self.config
         skipped_any = False
         for i in range(scan_k):
@@ -610,6 +616,7 @@ class KokoroTrainer:
                 self._log_train_diagnostics(batch, step)
         if skipped_any:
             self._dump_debug_batch(batch, base_step + scan_k)
+        return skipped_any
 
     def _log_duration_diagnostics(self, out, micro, step: int) -> None:
         """Verbose duration pred-vs-target stats + mask counts
@@ -781,19 +788,27 @@ class KokoroTrainer:
             k: np.stack([c[k] for c in collated]) for k in collated[0]
         }
 
-    def _log_lrs(self, step: int) -> None:
-        from kokoro_tpu.training.optimizer import make_group_schedule
+    _LR_TAGS = (
+        ("encoder", "stats/lr_encoder"),
+        ("decoder_other", "stats/lr_decoder"),
+        ("decoder_ffn", "stats/lr_decoder_ffn"),
+        ("decoder_attn", "stats/lr_decoder_attn"),
+        ("stop_head", "stats/lr_stop_head"),
+        ("variance_embed", "stats/lr_variance_embed"),
+    )
 
-        for label, tag in (
-            ("encoder", "stats/lr_encoder"),
-            ("decoder_other", "stats/lr_decoder"),
-            ("decoder_ffn", "stats/lr_decoder_ffn"),
-            ("decoder_attn", "stats/lr_decoder_attn"),
-            ("stop_head", "stats/lr_stop_head"),
-            ("variance_embed", "stats/lr_variance_embed"),
-        ):
-            sched = make_group_schedule(self.config, self.total_steps, label)
-            self.writer.add_scalar(tag, float(sched(step)), step)
+    def _log_lrs(self, step: int) -> None:
+        # schedule closures are pure functions of (config, total_steps) —
+        # build each once, not on every log call
+        if not hasattr(self, "_lr_schedules"):
+            from kokoro_tpu.training.optimizer import make_group_schedule
+
+            self._lr_schedules = {
+                label: make_group_schedule(self.config, self.total_steps, label)
+                for label, _ in self._LR_TAGS
+            }
+        for label, tag in self._LR_TAGS:
+            self.writer.add_scalar(tag, float(self._lr_schedules[label](step)), step)
 
     # ------------------------------------------------------------------
     def validate_epoch(self, epoch: int) -> Dict[str, float]:
@@ -902,23 +917,38 @@ class KokoroTrainer:
             hist: Dict[str, List[np.ndarray]] = {
                 "log_durations": [], "pitch": [], "energy": []
             }
+            # jitted teacher-forced forward — the eager ``model.apply`` here
+            # used to dispatch op-by-op (the exact storm init_params avoids,
+            # train_step.py:60-65); one compile per val bucket shape instead
+            if not hasattr(self, "_val_forward"):
+                import jax.numpy as jnp
+
+                def _vf(params, batch):
+                    text_pad = (
+                        jnp.arange(batch["phoneme_indices"].shape[1])[None, :]
+                        >= batch["phoneme_lengths"][:, None]
+                    )
+                    return self.model.apply(
+                        params,
+                        phoneme_indices=batch["phoneme_indices"],
+                        mel_specs=batch["mel_specs"],
+                        phoneme_durations=batch["phoneme_durations"],
+                        stress_indices=batch["stress_indices"],
+                        text_padding_mask=text_pad,
+                        pitch_targets=batch["pitch_targets"],
+                        energy_targets=batch["energy_targets"],
+                        deterministic=True,
+                    )
+
+                self._val_forward = jax.jit(_vf)
             for i, batch in enumerate(batches):
                 text_pad = (
                     np.arange(batch["phoneme_indices"].shape[1])[None, :]
                     >= batch["phoneme_lengths"][:, None]
                 )
-                out = self.model.apply(
-                    self.state.ema_params,
-                    phoneme_indices=batch["phoneme_indices"],
-                    mel_specs=batch["mel_specs"],
-                    phoneme_durations=batch["phoneme_durations"],
-                    stress_indices=batch["stress_indices"],
-                    text_padding_mask=text_pad,
-                    pitch_targets=batch["pitch_targets"],
-                    energy_targets=batch["energy_targets"],
-                    deterministic=True,
+                out = jax.device_get(
+                    self._val_forward(self.state.ema_params, batch)
                 )
-                out = jax.device_get(out)
                 if i == 0 and hasattr(self.writer, "add_image"):
                     t = int(batch["mel_lengths"][0])
                     self.writer.add_image(

@@ -79,6 +79,36 @@ class TestWarmRestartsSchedule:
             assert got == pytest.approx(want, rel=1e-5), f"epoch {epoch}"
             ts.step()
 
+    def test_warm_restarts_constant_within_epoch(self):
+        """The reference steps CosineAnnealingWarmRestarts once per EPOCH
+        (scheduler_per_batch=False) — the LR must be piecewise-constant
+        across the steps of one epoch, not a continuous fraction."""
+        cfg, sched = self._sched(learning_rate=1e-3, lr_T_0=20, lr_T_mult=2,
+                                 lr_eta_min=1e-6)
+        for epoch in (0, 3, 19, 20, 45):
+            first = float(sched(epoch * 10))
+            for step_in_epoch in (1, 5, 9):
+                assert float(sched(epoch * 10 + step_in_epoch)) == pytest.approx(
+                    first, rel=1e-7
+                ), f"LR moved mid-epoch {epoch}"
+
+    def test_warm_restarts_mid_epoch_matches_torch(self):
+        """Mid-epoch steps must hold the value torch reports for that epoch."""
+        import torch
+
+        cfg, sched = self._sched(learning_rate=1e-3, lr_T_0=5, lr_T_mult=1,
+                                 lr_eta_min=0.0)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        ts = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=5, T_mult=1, eta_min=0.0
+        )
+        for epoch in range(12):
+            want = opt.param_groups[0]["lr"]
+            got = float(sched(epoch * 10 + 7))  # mid-epoch step
+            assert got == pytest.approx(want, rel=1e-5), f"epoch {epoch}"
+            ts.step()
+
     def test_t_mult_one_is_periodic(self):
         cfg, sched = self._sched(learning_rate=1e-3, lr_T_0=10, lr_T_mult=1)
         # epoch 0 and epoch 10 (one full cycle) both sit at the peak
