@@ -228,6 +228,12 @@ class TrainingConfig:
     # call (lax.scan over optimizer steps).  Amortizes per-dispatch overhead —
     # measured 190 ms/call vs ~2 ms of compute on tunneled-TPU hosts.
     scan_steps: int = 8
+    # Host pipeline depth: batch assembly + transfer cast + device_put for
+    # chunk N+1 run on a background thread while the device executes chunk N
+    # (double buffering at depth 2) — the TPU-native replacement for the
+    # reference DataLoader's num_workers (reference trainer.py:322-327).
+    # 0 = fully synchronous host loop (debug / deterministic profiling).
+    host_prefetch_depth: int = 2
     # pallas flash attention, auto-gated to CAUSAL self-attention >= 1024
     # frames (measured 2.4x vs einsum at T=1280; einsum fuses better below).
     # The kernel cannot apply attention-WEIGHT dropout;

@@ -143,10 +143,19 @@ def global_batch_from_local(
     return out
 
 
-def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
+def put_batch(
+    batch: Dict[str, Any], mesh: Optional[Mesh], always: bool = False
+) -> Dict[str, Any]:
     """Single entry point the trainer uses: no-op without a mesh, sharded
-    device_put single-host, cross-process assembly multi-host."""
+    device_put single-host, cross-process assembly multi-host.
+
+    ``always=True`` forces an explicit ``device_put`` even without a mesh, so
+    the host->device copy is issued eagerly (the prefetch pipeline stages
+    transfers from a background thread; leaving the copy to dispatch time
+    would serialize it behind the jitted call)."""
     if mesh is None:
+        if always:
+            return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
         return batch
     if jax.process_count() > 1:
         return global_batch_from_local(batch, mesh)

@@ -1,0 +1,218 @@
+"""Host prefetch pipeline tests (VERDICT r2 #1).
+
+The epoch producer (accumulation grouping -> assemble -> scan stacking) is
+factored into ``_chunk_stream`` and, with ``host_prefetch_depth > 0``, runs on
+a background thread that also performs the transfer cast and device_put —
+overlapping host batch work with device compute (the TPU-native replacement
+for the reference DataLoader's num_workers, reference trainer.py:322-327).
+
+Covers: chunk-stream ordering/stacking semantics, prefetch ordering, bounded
+queue depth, worker-exception propagation, consumer-abort worker shutdown,
+and pipelined-vs-synchronous end-to-end numerical parity on the real trainer.
+"""
+
+import threading
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from kokoro_tpu.config import get_smoke_test_config
+from kokoro_tpu.data.audio_io import save_wav
+from kokoro_tpu.training.trainer import KokoroTrainer, _JsonlWriter
+
+
+def bare_trainer(tmp_path, **cfg_kw):
+    t = KokoroTrainer.__new__(KokoroTrainer)
+    t.config = get_smoke_test_config(**cfg_kw)
+    t.output_dir = Path(tmp_path)
+    t.writer = _JsonlWriter(Path(tmp_path) / "logs")
+    t._epoch_sums = {}
+    t._epoch_steps = 0
+    t._metric_queue = []
+    t._host_step = 0
+    t._interbatch = None
+    t.mesh = None
+    return t
+
+
+def shaped_assemble(shapes_by_first_index):
+    """Fake _assemble: batch shape is keyed by the group's first index."""
+
+    def _assemble(group, rng):
+        L = shapes_by_first_index[group[0][0]]
+        return {
+            "phoneme_indices": np.full((2, L), group[0][0], np.int32),
+            "group_sizes": np.asarray([len(g) for g in group], np.int32),
+        }
+
+    return _assemble
+
+
+class TestChunkStream:
+    def test_scan_stacking_exact_runs(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        t._assemble = shaped_assemble({i: 8 for i in range(6)})
+        batches = [[i] for i in range(6)]
+        out = list(t._chunk_stream(batches, None, accum=1, scan_k=3))
+        assert [k for _, k in out] == [3, 3]
+        assert out[0][0]["phoneme_indices"].shape == (3, 2, 8)
+        # order preserved: first chunk holds batches 0,1,2
+        np.testing.assert_array_equal(
+            out[0][0]["phoneme_indices"][:, 0, 0], [0, 1, 2]
+        )
+
+    def test_signature_break_flushes_singles(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        t._assemble = shaped_assemble({0: 8, 1: 8, 2: 16})
+        out = list(t._chunk_stream([[0], [1], [2]], None, accum=1, scan_k=3))
+        # A,A then shape break: the 2-run is below scan_k -> two singles,
+        # then the B single at epoch end
+        assert [k for _, k in out] == [1, 1, 1]
+        assert out[0][0]["phoneme_indices"].shape == (2, 8)
+        assert out[2][0]["phoneme_indices"].shape == (2, 16)
+
+    def test_tail_shorter_than_scan(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        t._assemble = shaped_assemble({i: 8 for i in range(4)})
+        out = list(t._chunk_stream([[i] for i in range(4)], None, 1, 3))
+        assert [k for _, k in out] == [3, 1]
+        assert out[1][0]["phoneme_indices"].shape == (2, 8)
+
+    def test_scan_k_one_never_stacks(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        t._assemble = shaped_assemble({i: 8 for i in range(3)})
+        out = list(t._chunk_stream([[i] for i in range(3)], None, 1, 1))
+        assert [k for _, k in out] == [1, 1, 1]
+        assert all(c["phoneme_indices"].shape == (2, 8) for c, _ in out)
+
+    def test_accumulation_grouping_with_tail(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        seen = []
+
+        def record_assemble(group, rng):
+            seen.append([g[0] for g in group])
+            return {"x": np.zeros((2, 4), np.float32)}
+
+        t._assemble = record_assemble
+        list(t._chunk_stream([[i] for i in range(5)], None, accum=2, scan_k=1))
+        # groups of 2, 2, then the 1-batch tail still trains (reference
+        # exact-tail-divisor semantics)
+        assert seen == [[0, 1], [2, 3], [4]]
+
+
+class TestPrefetchToDevice:
+    def test_order_and_device_placement(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        stream = (
+            ({"x": np.full((2,), i, np.float32)}, 1) for i in range(5)
+        )
+        got = list(t._prefetch_to_device(stream, depth=2))
+        assert [int(h["x"][0]) for _, h, _ in got] == list(range(5))
+        for dev, _, k in got:
+            assert isinstance(dev["x"], jax.Array)
+            assert k == 1
+
+    def test_worker_exception_propagates(self, tmp_path):
+        t = bare_trainer(tmp_path)
+
+        def broken():
+            yield {"x": np.zeros((2,), np.float32)}, 1
+            raise RuntimeError("assembly exploded")
+
+        gen = t._prefetch_to_device(broken(), depth=2)
+        next(gen)
+        with pytest.raises(RuntimeError, match="assembly exploded"):
+            list(gen)
+
+    def test_consumer_abort_stops_worker(self, tmp_path):
+        t = bare_trainer(tmp_path)
+
+        def endless():
+            i = 0
+            while True:
+                yield {"x": np.full((2,), i, np.float32)}, 1
+                i += 1
+
+        gen = t._prefetch_to_device(endless(), depth=2)
+        next(gen)
+        gen.close()  # consumer abort mid-epoch
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if not any(
+                th.name == "kokoro-host-prefetch" for th in threading.enumerate()
+            ):
+                break
+            time.sleep(0.05)
+        assert not any(
+            th.name == "kokoro-host-prefetch" for th in threading.enumerate()
+        )
+
+    def test_queue_depth_bounds_producer(self, tmp_path):
+        t = bare_trainer(tmp_path)
+        produced = []
+
+        def counting():
+            for i in range(50):
+                produced.append(i)
+                yield {"x": np.full((2,), i, np.float32)}, 1
+
+        gen = t._prefetch_to_device(counting(), depth=2)
+        next(gen)  # start the worker, take one item
+        time.sleep(0.5)  # producer free-runs only up to the queue bound
+        # 1 consumed + 2 queued + 1 in-flight in the worker
+        assert len(produced) <= 4
+        gen.close()
+
+
+def _make_corpus(root: Path) -> Path:
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, text in enumerate(["привет мир", "как дела", "всё хорошо", "пока"]):
+        t = np.arange(int(22050 * 0.5)) / 22050
+        audio = 0.4 * np.sin(2 * np.pi * (140 + 30 * i) * t).astype(np.float32)
+        audio += 0.03 * rng.normal(size=len(t)).astype(np.float32)
+        save_wav(wavs / f"s{i}.wav", audio, 22050)
+        lines.append(f"s{i}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+    return root
+
+
+class TestPrefetchParity:
+    def test_pipelined_matches_synchronous(self, tmp_path):
+        """Identical final parameters and epoch metrics with the prefetch
+        thread on (depth 2) vs fully synchronous (depth 0): pipelining must
+        not change dispatch order, RNG streams, or numerics."""
+        corpus = _make_corpus(tmp_path / "corpus")
+
+        def run(depth, out):
+            cfg = get_smoke_test_config(
+                data_dir=str(corpus),
+                output_dir=str(tmp_path / out),
+                num_epochs=1,
+                batch_size=2,
+                validation_split=0.25,
+                use_speed_perturbation=False,
+                use_spec_augment=False,
+                compute_dtype="float32",
+                scan_steps=2,
+                host_prefetch_depth=depth,
+            )
+            tr = KokoroTrainer(cfg)
+            metrics = tr.train_epoch(0)
+            tr._drain_metrics()
+            return metrics, tr.state.params
+
+        m_sync, p_sync = run(0, "sync")
+        m_pipe, p_pipe = run(2, "pipe")
+        assert m_sync.keys() == m_pipe.keys()
+        for k in m_sync:
+            assert m_sync[k] == pytest.approx(m_pipe[k], abs=1e-6), k
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_sync), jax.tree_util.tree_leaves(p_pipe)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
