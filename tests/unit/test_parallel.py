@@ -226,3 +226,18 @@ class TestBatchDimQuantization:
         rng = np.random.default_rng(0)
         batch = t._assemble([[0, 1, 2]], rng)
         assert batch["mel_specs"].shape[0] % 8 == 0
+
+    def test_batch_size_multiple_forces_uniform_rows(self, corpus, tmp_path):
+        """batch_size_multiple pins every padded batch (tails included) to one
+        row count, so the whole epoch runs through a single B-shape program."""
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        cfg = _dp_config(corpus, tmp_path / "quantm", (1,))
+        cfg.batch_size_multiple = 4
+        t = KokoroTrainer(cfg)
+        rng = np.random.default_rng(0)
+        for group in ([[0]], [[0, 1]], [[0, 1, 2]]):
+            batch = t._assemble(group, rng)
+            assert batch["mel_specs"].shape[0] == 4, group
+            n = len(group[0])
+            assert (np.asarray(batch["mel_lengths"][n:]) == 0).all()
