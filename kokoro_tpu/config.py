@@ -228,6 +228,12 @@ class TrainingConfig:
     # call (lax.scan over optimizer steps).  Amortizes per-dispatch overhead —
     # measured 190 ms/call vs ~2 ms of compute on tunneled-TPU hosts.
     scan_steps: int = 8
+    # Batch dispatch order: "spread" = reference heavy-batch spreading
+    # (decorrelates gradient spikes, interleaves shapes); "shape_major" =
+    # group batches by padded (mel, phoneme) bucket so consecutive same-shape
+    # runs are maximal — each run scans into one dispatch (scan_steps), the
+    # TPU-performance order.  Heavy batches still spread within each group.
+    batch_order: str = "spread"
     # Quantum for the padded batch dimension.  None = min(4, max_batch_size)
     # (always lcm'd with the mesh size).  Every distinct padded B is a fresh
     # XLA compile of the whole train step; setting this to max_batch_size

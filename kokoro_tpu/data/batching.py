@@ -46,6 +46,9 @@ class FrameBudgetBatcher:
         max_batch_size: int = 8,
         seed: int = 42,
         drop_incomplete: bool = False,
+        batch_order: str = "spread",
+        mel_buckets: Optional[Sequence[int]] = None,
+        phoneme_buckets: Optional[Sequence[int]] = None,
     ):
         self.lengths = list(lengths)
         self.max_frames = max_frames_per_batch
@@ -53,6 +56,13 @@ class FrameBudgetBatcher:
         self.max_batch = max(self.min_batch, max_batch_size)
         self.seed = seed
         self.drop_incomplete = drop_incomplete
+        if batch_order not in ("spread", "shape_major"):
+            raise ValueError(
+                f"batch_order must be 'spread' or 'shape_major', got {batch_order!r}"
+            )
+        self.batch_order = batch_order
+        self.mel_buckets = tuple(mel_buckets) if mel_buckets else None
+        self.phoneme_buckets = tuple(phoneme_buckets) if phoneme_buckets else None
         self.epoch = 0
 
     def __iter__(self) -> Iterator[List[int]]:
@@ -102,7 +112,39 @@ class FrameBudgetBatcher:
             ):
                 batches.append(current)
 
+        if self.batch_order == "shape_major":
+            return self._shape_major(batches, rng)
         return self._spread_heavy(batches, rng)
+
+    def _padded_shape(self, batch: List[int]) -> Tuple[int, int]:
+        """The static (mel_bucket, phoneme_bucket) this batch pads to."""
+        mel = max(self.lengths[i][0] for i in batch)
+        ph = max(self.lengths[i][1] for i in batch)
+        if self.mel_buckets:
+            mel = _bucket_up(mel, self.mel_buckets)
+        if self.phoneme_buckets:
+            ph = _bucket_up(ph, self.phoneme_buckets)
+        return mel, ph
+
+    def _shape_major(
+        self, batches: List[List[int]], rng: np.random.Generator
+    ) -> List[List[int]]:
+        """TPU dispatch order: group batches by padded shape so consecutive
+        same-shape runs are maximal (each run scans into one dispatch,
+        trainer scan_steps).  The reference's global heavy-batch spreading
+        (:1078-1126) would interleave shapes and break every run; its intent
+        — don't cluster the costliest batches — is preserved WITHIN each
+        shape group, and group order is shuffled per epoch so no shape
+        always leads an epoch."""
+        groups: Dict[Tuple[int, int], List[List[int]]] = {}
+        for b in batches:
+            groups.setdefault(self._padded_shape(b), []).append(b)
+        keys = sorted(groups)
+        rng.shuffle(keys)
+        out: List[List[int]] = []
+        for key in keys:
+            out.extend(self._spread_heavy(groups[key], rng))
+        return out
 
     def _spread_heavy(
         self, batches: List[List[int]], rng: np.random.Generator

@@ -69,7 +69,11 @@ def make_generate_fn(model: KokoroModel, max_frames: int):
             max_frames,
             method=KokoroModel.encode_for_inference,
         )
-        expected_length = expected[0]
+        # Per-ROW stop bookkeeping (B,) so one decode serves a whole batch of
+        # utterances (VERDICT r2 #8): every bound/threshold/flag below is a
+        # vector; with B=1 the semantics reduce exactly to the reference's
+        # single-utterance loop (reference generator.py:24-127).
+        expected_length = expected  # (B,)
 
         cross_kvs = model.apply(
             params, memory, method=KokoroModel.project_memory_kv
@@ -110,15 +114,19 @@ def make_generate_fn(model: KokoroModel, max_frames: int):
             "prev_frame": jnp.zeros((B, 1, M), jnp.float32),
             "mels": jnp.zeros((B, max_frames, M), jnp.float32),
             "caches": caches,
-            "done": jnp.asarray(False),
-            "length": jnp.asarray(0, jnp.int32),
+            "done": jnp.zeros((B,), bool),
+            "length": jnp.zeros((B,), jnp.int32),
         }
 
         def cond(state):
-            return (~state["done"]) & (state["t"] < max_expected)
+            return jnp.any((~state["done"]) & (state["t"] < max_expected))
 
         def body(state):
             t = state["t"]
+            # (B,) rows still generating this step; finished rows ride along
+            # (their outputs are masked out) — cheaper than compacting the
+            # batch inside the loop
+            row_active = (~state["done"]) & (t < max_expected)
             mel_t, stop_t, new_caches = model.apply(
                 params,
                 state["prev_frame"],
@@ -129,12 +137,16 @@ def make_generate_fn(model: KokoroModel, max_frames: int):
                 method=KokoroModel.decode_step,
             )
             mel_t = mel_t.astype(jnp.float32)
-            mels = jax.lax.dynamic_update_slice(
+            updated = jax.lax.dynamic_update_slice(
                 state["mels"], mel_t, (0, t, 0)
             )
-            stop_prob = jnp.mean(jax.nn.sigmoid(stop_t.astype(jnp.float32)))
+            mels = jnp.where(row_active[:, None, None], updated, state["mels"])
+            stop_prob = jnp.mean(
+                jax.nn.sigmoid(stop_t.astype(jnp.float32)).reshape(B, -1),
+                axis=-1,
+            )  # (B,)
 
-            past_min = t >= min_expected
+            past_min = t >= min_expected  # (B,)
             eff_thresh = jnp.where(
                 t < expected_length,
                 stop_threshold,
@@ -151,22 +163,26 @@ def make_generate_fn(model: KokoroModel, max_frames: int):
             frame_idx = start + jnp.arange(30)
             valid = (frame_idx < n_gen)[None, :, None]
             recent_energy = jnp.sum(
-                jnp.where(valid, window, 0.0)
-            ) / jnp.maximum(jnp.sum(valid) * M, 1)
+                jnp.where(valid, window, 0.0), axis=(1, 2)
+            ) / jnp.maximum(jnp.sum(valid) * M, 1)  # (B,)
             energy_hit = past_min & (n_gen >= 30) & (recent_energy < -9.5)
 
-            done = stop_hit | energy_hit
+            done = state["done"] | (row_active & (stop_hit | energy_hit))
             return {
                 "t": t + 1,
                 "prev_frame": mel_t,
                 "mels": mels,
                 "caches": new_caches,
                 "done": done,
-                "length": t + 1,
+                # active rows advance; rows that stopped (or hit their max
+                # bound) keep their final length
+                "length": jnp.where(row_active, t + 1, state["length"]),
             }
 
         final = jax.lax.while_loop(cond, body, init_state)
         mel = jnp.clip(final["mels"], -11.5, 2.0)
+        if B == 1:  # single-utterance API stays scalar (B is static under jit)
+            return mel, final["length"][0], expected_length[0]
         return mel, final["length"], expected_length
 
     return generate

@@ -235,6 +235,9 @@ class KokoroTrainer:
                 min_batch_size=cfg.min_batch_size,
                 max_batch_size=cfg.max_batch_size,
                 seed=cfg.seed,
+                batch_order=getattr(cfg, "batch_order", "spread"),
+                mel_buckets=cfg.mel_bucket_sizes,
+                phoneme_buckets=cfg.phoneme_bucket_sizes,
             )
         else:
             self.batcher = FixedSizeBatcher(lengths, cfg.batch_size, seed=cfg.seed)

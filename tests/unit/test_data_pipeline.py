@@ -122,6 +122,85 @@ class TestFrameBudgetBatcher:
         assert sum(len(x) for x in batches) == 40
 
 
+class TestShapeMajorOrder:
+    MEL_BUCKETS = (512, 1024, 1536)
+    PH_BUCKETS = (64, 128, 192)
+
+    def _lengths(self, n=120, seed=0):
+        rng = np.random.default_rng(seed)
+        return [(int(l), int(l) // 8) for l in rng.integers(100, 1500, n)]
+
+    def _batcher(self, lengths, order):
+        return FrameBudgetBatcher(
+            lengths, max_frames_per_batch=4000, batch_order=order,
+            mel_buckets=self.MEL_BUCKETS, phoneme_buckets=self.PH_BUCKETS,
+        )
+
+    def _shape(self, lengths, batch):
+        def up(v, buckets):
+            return next((b for b in buckets if v <= b), buckets[-1])
+
+        return (
+            up(max(lengths[i][0] for i in batch), self.MEL_BUCKETS),
+            up(max(lengths[i][1] for i in batch), self.PH_BUCKETS),
+        )
+
+    def test_each_padded_shape_is_contiguous(self):
+        lengths = self._lengths()
+        batches = self._batcher(lengths, "shape_major").build_batches(0)
+        shapes = [self._shape(lengths, b) for b in batches]
+        seen = set()
+        prev = None
+        for s in shapes:
+            if s != prev:
+                assert s not in seen, f"shape {s} appears in two separate runs"
+                seen.add(s)
+            prev = s
+
+    def test_spread_order_interleaves_but_same_partition(self):
+        """shape_major reorders the SAME batch partition spread produces —
+        membership is identical, only dispatch order changes."""
+        lengths = self._lengths()
+        a = self._batcher(lengths, "spread").build_batches(0)
+        b = self._batcher(lengths, "shape_major").build_batches(0)
+        assert sorted(map(sorted, a)) == sorted(map(sorted, b))
+
+    def test_all_items_covered(self):
+        lengths = self._lengths(77)
+        batches = self._batcher(lengths, "shape_major").build_batches(2)
+        assert sorted(i for b in batches for i in b) == list(range(77))
+
+    def test_heavy_spreading_within_groups(self):
+        """Within one shape group the costliest batches still spread."""
+        lengths = self._lengths(200)
+        batches = self._batcher(lengths, "shape_major").build_batches(0)
+        shapes = [self._shape(lengths, b) for b in batches]
+        # find the largest contiguous group
+        runs = {}
+        for k, s in enumerate(shapes):
+            runs.setdefault(s, []).append(k)
+        s, idxs = max(runs.items(), key=lambda kv: len(kv[1]))
+        group = [batches[k] for k in idxs]
+        if len(group) >= 9:
+            costs = [len(b) * max(lengths[i][0] for i in b) for b in group]
+            n_heavy = max(1, int(np.sqrt(len(group))))
+            thresh = sorted(costs, reverse=True)[n_heavy - 1]
+            pos = [k for k, c in enumerate(costs) if c >= thresh][:n_heavy]
+            gaps = np.diff([0] + sorted(pos) + [len(group)])
+            assert gaps.max() <= 2 * len(group) / n_heavy + 2
+
+    def test_epochs_shuffle_group_order(self):
+        lengths = self._lengths()
+        b = self._batcher(lengths, "shape_major")
+        assert b.build_batches(0) != b.build_batches(1)
+
+    def test_invalid_order_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="batch_order"):
+            self._batcher(self._lengths(10), "zigzag")
+
+
 class TestCollate:
     def _feature(self, t, l, seed=0):
         rng = np.random.default_rng(seed)

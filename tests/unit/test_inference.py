@@ -85,6 +85,56 @@ class TestGenerator:
         )
         assert int(length) >= 20 or int(length) == 64
 
+    def test_batched_rows_match_single_utterance_decode(self, setup):
+        """B=3 batched decode with per-row stop bookkeeping reproduces each
+        row's single-utterance decode exactly (mel prefix AND length) —
+        the batched-serving correctness contract (VERDICT r2 #8)."""
+        model, params = setup
+        gen = make_generate_fn(model, max_frames=32)
+        rng = np.random.default_rng(7)
+        rows = [rng.integers(1, VOCAB, (1, 6)) for _ in range(3)]
+        stress = [rng.integers(0, 3, (1, 6)) for _ in range(3)]
+        batch_mel, batch_len, batch_exp = gen(
+            params,
+            jnp.asarray(np.concatenate(rows)),
+            jnp.asarray(np.concatenate(stress)),
+            jnp.zeros((3, 6), bool),
+        )
+        assert batch_mel.shape == (3, 32, 8)
+        assert batch_len.shape == (3,) and batch_exp.shape == (3,)
+        for i in range(3):
+            mel_i, len_i, exp_i = gen(
+                params,
+                jnp.asarray(rows[i]),
+                jnp.asarray(stress[i]),
+                jnp.zeros((1, 6), bool),
+            )
+            assert int(batch_len[i]) == int(len_i), i
+            assert int(batch_exp[i]) == int(exp_i), i
+            n = int(len_i)
+            np.testing.assert_allclose(
+                np.asarray(batch_mel[i, :n]), np.asarray(mel_i[0, :n]),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_batched_done_rows_freeze(self, setup):
+        """Frames past a row's stop length stay at the zero-init value (the
+        row is frozen while other rows continue)."""
+        model, params = setup
+        gen = make_generate_fn(model, max_frames=32)
+        rng = np.random.default_rng(3)
+        mel, length, _ = gen(
+            params,
+            jnp.asarray(rng.integers(1, VOCAB, (2, 6))),
+            jnp.asarray(rng.integers(0, 3, (2, 6))),
+            jnp.zeros((2, 6), bool),
+        )
+        lens = np.asarray(length)
+        for i in range(2):
+            tail = np.asarray(mel[i, int(lens[i]):])
+            if tail.size:
+                np.testing.assert_array_equal(tail, np.zeros_like(tail))
+
 
 def build_torch_hifigan(cfg: HiFiGANConfig, seed=0):
     """A reference torch HiFi-GAN V1 generator built from the paper spec

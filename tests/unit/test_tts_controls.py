@@ -103,3 +103,24 @@ class TestSplitText:
         text = ("слово " * 60).strip()
         chunks = KokoroTTS.split_text(text, max_chars=100)
         assert chunks == [text]
+
+
+class TestBatchedSynthesis:
+    def test_batch_matches_single_per_text(self, model_dir):
+        """synthesize_mel_batch must reproduce synthesize_mel per text
+        (same trim, same values) while grouping by phoneme bucket."""
+        tts = KokoroTTS(str(model_dir), vocoder_type="griffin_lim")
+        texts = ["привет мир", "как дела", "да"]
+        batched = tts.synthesize_mel_batch(texts)
+        for text, got in zip(texts, batched):
+            single = tts.synthesize_mel(text)
+            assert (got is None) == (single is None), text
+            if single is not None:
+                assert got.shape == single.shape, text
+                np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-5)
+
+    def test_empty_encoding_yields_none_slot(self, model_dir):
+        tts = KokoroTTS(str(model_dir), vocoder_type="griffin_lim")
+        out = tts.synthesize_mel_batch(["...", "привет"])
+        assert len(out) == 2
+        assert out[1] is not None
