@@ -50,9 +50,15 @@ class E2ETimeout(Exception):
     """Raised by the SIGALRM budget guard around the e2e phase."""
 
 
-def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
-    """Synthetic RUSLAN-layout corpus: pipe-separated metadata + wavs/ with
-    1-6 s utterances (assorted lengths exercise the frame-budget packer)."""
+def _build_bench_corpus(root: Path, seed: int = 7) -> None:
+    """Synthetic RUSLAN-layout corpus with a REALISTIC length distribution
+    (VERDICT r2 #2): three duration clusters spanning ~2.8-10.1 s that land in
+    three distinct (mel, phoneme) bucket pairs — short utterances dominate,
+    long ones reach near the packer's heavy end, matching the shape of the
+    reference's cost model (reference data/dataset.py:924-1127).  Word counts
+    are pinned per cluster so phoneme lengths stay inside one phoneme bucket
+    per mel bucket (measured: 6 words -> 26-49 ph, 12 -> 68-90, 19 ->
+    107-140), bounding the compile count while true lengths vary freely."""
     from kokoro_tpu.data.audio_io import save_wav
 
     wavs = root / "wavs"
@@ -63,28 +69,35 @@ def _build_bench_corpus(root: Path, n_utts: int = 192, seed: int = 7) -> None:
         "сегодня", "завтра", "погода", "ясная", "ветер", "слабый", "дождь",
         "вечером", "утром", "новости", "слушайте", "внимательно",
     ]
+    # (count, dur_lo_s, dur_hi_s, words) -> mel bucket 320 / 512 / 896
+    clusters = [
+        (224, 2.80, 3.55, 6),
+        (160, 4.90, 5.80, 12),
+        (96, 8.70, 10.10, 19),
+    ]
     lines = []
-    for i in range(n_utts):
-        # one audio length bucket (3.0-3.7 s at the 16384-sample granularity):
-        # ONE jitted feature-extractor compile for the whole corpus; true
-        # lengths still vary so masking/packing stay honest
-        dur_s = float(rng.uniform(3.0, 3.7))
-        n = int(22050 * dur_s)
-        t = np.arange(n) / 22050.0
-        f0 = rng.uniform(90, 220)
-        audio = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.15 * np.sin(
-            2 * np.pi * 2 * f0 * t
-        )
-        audio += 0.05 * rng.standard_normal(n)
-        audio = (audio / np.abs(audio).max()).astype(np.float32)
-        save_wav(wavs / f"b{i:04d}.wav", audio, 22050)
-        text = " ".join(rng.choice(words, size=int(2 + dur_s * 2)))
-        lines.append(f"b{i:04d}|{text}")
+    i = 0
+    for count, lo, hi, n_words in clusters:
+        for _ in range(count):
+            dur_s = float(rng.uniform(lo, hi))
+            n = int(22050 * dur_s)
+            t = np.arange(n) / 22050.0
+            f0 = rng.uniform(90, 220)
+            audio = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.15 * np.sin(
+                2 * np.pi * 2 * f0 * t
+            )
+            audio += 0.05 * rng.standard_normal(n)
+            audio = (audio / np.abs(audio).max()).astype(np.float32)
+            save_wav(wavs / f"b{i:04d}.wav", audio, 22050)
+            text = " ".join(rng.choice(words, size=n_words))
+            lines.append(f"b{i:04d}|{text}")
+            i += 1
     (root / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
 
 
-def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
-    """One real epoch through the trainer hot path; returns true mel-frames/s."""
+def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
+    """Real epochs through the trainer hot path over a 3-bucket corpus;
+    returns {"frames_per_sec", "buckets", "shape_steps", "padding_efficiency"}."""
     import sys
 
     import jax
@@ -97,13 +110,13 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
     from kokoro_tpu.training.trainer import KokoroTrainer
 
     log = lambda *a: print("[e2e]", *a, file=sys.stderr, flush=True)
-    corpus = tmp_root / "bench_corpus"
+    corpus = tmp_root / "bench_corpus_v3"
     if not (corpus / "metadata.csv").exists():
-        _build_bench_corpus(corpus, n_utts=n_utts)
+        _build_bench_corpus(corpus)
     base = dict(
         data_dir=str(corpus),
         output_dir=str(tmp_root / "bench_out"),
-        num_epochs=4,
+        num_epochs=5,
         use_mfa=False,
         use_speed_perturbation=False,  # perturbation bypasses the cache
         validation_split=0.05,
@@ -111,17 +124,16 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
         save_every=10**9,
         log_every_steps=10**9,
         warmup_steps=10,
-        # single-bucket tables bound the compile count: the whole e2e phase
-        # compiles ~4 programs (extractor, init, state, train step), all
-        # cached persistently in /tmp/jax_cache
-        max_seq_length=384,
-        mel_bucket_sizes=(384,),
-        phoneme_bucket_sizes=(96,),
+        # THREE (mel, phoneme) bucket pairs; cluster word counts pin each mel
+        # bucket to one phoneme bucket, so the epoch needs 3 step shapes
+        # (x {scan_k, 1} programs), all cached persistently in /tmp/jax_cache
+        max_seq_length=896,
+        mel_bucket_sizes=(320, 512, 896),
+        phoneme_bucket_sizes=(64, 96, 160),
         histogram_every_steps=0,
-        # 101 utts -> 96 train = 6 identical (16, 384, 96) batches; scanning
-        # all 6 into ONE dispatch leaves per-epoch cost ~= a handful of
-        # transport round-trips
-        scan_steps=6,
+        scan_steps=4,
+        # preset already sets: shape_major order, carry_tail, B multiple 16,
+        # bf16 transfer, host prefetch depth 2
     )
     base.update(overrides)
     cfg = get_high_performance_config(**base)
@@ -149,18 +161,36 @@ def bench_end_to_end(tmp_root: Path, n_utts: int = 101, **overrides) -> float:
         trainer.train_dataset.lengths(i)[0]
         for i in range(len(trainer.train_dataset))
     )
-    # min-of-3 epochs: transport jitter only ever adds time (same discipline
-    # as the compute-only min-of-N)
+    # min-of-N epochs: transport jitter only ever adds time (same discipline
+    # as the compute-only min-of-N).  Epoch 1 often still pays straggler
+    # compiles (per-epoch repacking can surface a tail shape epoch 0 missed).
+    trainer._shape_counts = {}
     times = []
-    for e in (1, 2, 3):
+    for e in (1, 2, 3, 4):
         t0 = time.perf_counter()
         trainer.train_epoch(e)
         _ = float(trainer.state.opt_step)  # value fetch = true device barrier
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+    # dispatched-shape census over the measured epochs: (mel shape, scan_k)
+    # -> optimizer steps; padded frames derive from it
+    shape_steps = {}
+    padded_frames = 0
+    for (shape, scan_k), steps in sorted(trainer._shape_counts.items()):
+        b, t = shape[-3], shape[-2]
+        shape_steps[f"B{b}xT{t}xk{scan_k}"] = steps
+        padded_frames += b * t * steps
+    n_epochs_measured = 4
+    eff = total_frames * n_epochs_measured / max(padded_frames, 1)
     log(f"measured epochs {[round(t, 2) for t in times]}s, "
-        f"{total_frames} true frames")
-    return total_frames / elapsed
+        f"{total_frames} true frames, shapes {shape_steps}, "
+        f"padding efficiency {eff:.2f}")
+    return {
+        "frames_per_sec": total_frames / elapsed,
+        "buckets": len(cfg.mel_bucket_sizes),
+        "shape_steps": shape_steps,
+        "padding_efficiency": round(eff, 3),
+    }
 
 
 def main() -> None:
@@ -262,16 +292,19 @@ def main() -> None:
     # the phase so the JSON line ALWAYS prints.
     import signal
 
-    budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "540"))
+    budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "900"))
 
     def _on_alarm(signum, frame):
         raise E2ETimeout(f"e2e phase exceeded {budget_s}s budget")
 
+    e2e_extra = {}
     try:
         old_handler = signal.signal(signal.SIGALRM, _on_alarm)
         signal.alarm(budget_s)
         try:
-            e2e = bench_end_to_end(Path("/tmp/kokoro_bench"))
+            e2e_result = bench_end_to_end(Path("/tmp/kokoro_bench"))
+            e2e = e2e_result.pop("frames_per_sec")
+            e2e_extra = e2e_result
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old_handler)
@@ -291,6 +324,7 @@ def main() -> None:
                 "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
                 "end_to_end": round(e2e, 1),
                 "end_to_end_vs_baseline": round(e2e / BASELINE_FRAMES_PER_SEC, 3),
+                **e2e_extra,
             }
         )
     )

@@ -234,6 +234,12 @@ class TrainingConfig:
     # runs are maximal — each run scans into one dispatch (scan_steps), the
     # TPU-performance order.  Heavy batches still spread within each group.
     batch_order: str = "spread"
+    # Carry a quantile bucket's ragged last batch into the next bucket
+    # instead of flushing short (reference flushes per bucket).  Under static
+    # batch shapes a short batch pads to full rows of masked compute, so the
+    # TPU preset carries; sorted bucket order keeps carried items
+    # length-adjacent, so mel padding barely grows.
+    carry_tail: bool = False
     # Quantum for the padded batch dimension.  None = min(4, max_batch_size)
     # (always lcm'd with the mesh size).  Every distinct padded B is a fresh
     # XLA compile of the whole train step; setting this to max_batch_size
@@ -336,6 +342,11 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         use_flash_attention=True,
         attention_weight_dropout=False,
         batch_transfer_dtype="bfloat16",
+        # dispatch-shape hygiene: contiguous same-shape runs (scan stacking),
+        # full-row batches, one padded-B program
+        batch_order="shape_major",
+        carry_tail=True,
+        batch_size_multiple=16,
     )
     base.update(overrides)
     return TrainingConfig(**base)

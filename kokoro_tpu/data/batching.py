@@ -49,6 +49,7 @@ class FrameBudgetBatcher:
         batch_order: str = "spread",
         mel_buckets: Optional[Sequence[int]] = None,
         phoneme_buckets: Optional[Sequence[int]] = None,
+        carry_tail: bool = False,
     ):
         self.lengths = list(lengths)
         self.max_frames = max_frames_per_batch
@@ -63,6 +64,13 @@ class FrameBudgetBatcher:
         self.batch_order = batch_order
         self.mel_buckets = tuple(mel_buckets) if mel_buckets else None
         self.phoneme_buckets = tuple(phoneme_buckets) if phoneme_buckets else None
+        # carry_tail=True: a quantile bucket's ragged last batch carries into
+        # the next bucket instead of flushing short (reference flushes per
+        # bucket, :1010-1025).  Sorted bucket order keeps carried items
+        # adjacent in length, so padding barely grows while nearly every
+        # batch reaches full rows — the TPU-preset choice (masked tail rows
+        # are pure wasted compute under static batch shapes).
+        self.carry_tail = carry_tail
         self.epoch = 0
 
     def __iter__(self) -> Iterator[List[int]]:
@@ -92,9 +100,9 @@ class FrameBudgetBatcher:
             rng.shuffle(b)
 
         batches: List[List[int]] = []
+        current: List[int] = []
+        current_max = 0
         for bucket in buckets:
-            current: List[int] = []
-            current_max = 0
             for idx in bucket:
                 mel_len = self.lengths[idx][0]
                 new_max = max(current_max, mel_len)
@@ -107,10 +115,16 @@ class FrameBudgetBatcher:
                     new_max = mel_len
                 current.append(idx)
                 current_max = new_max
-            if current and (
-                len(current) >= self.min_batch or not self.drop_incomplete
-            ):
-                batches.append(current)
+            if not self.carry_tail:
+                if current and (
+                    len(current) >= self.min_batch or not self.drop_incomplete
+                ):
+                    batches.append(current)
+                current, current_max = [], 0
+        if current and (
+            len(current) >= self.min_batch or not self.drop_incomplete
+        ):
+            batches.append(current)
 
         if self.batch_order == "shape_major":
             return self._shape_major(batches, rng)

@@ -238,6 +238,7 @@ class KokoroTrainer:
                 batch_order=getattr(cfg, "batch_order", "spread"),
                 mel_buckets=cfg.mel_bucket_sizes,
                 phoneme_buckets=cfg.phoneme_bucket_sizes,
+                carry_tail=getattr(cfg, "carry_tail", False),
             )
         else:
             self.batcher = FixedSizeBatcher(lengths, cfg.batch_size, seed=cfg.seed)
@@ -658,9 +659,13 @@ class KokoroTrainer:
         """Fetch queued on-device metrics and log them (bulk transfers)."""
         cfg = self.config
         queue, self._metric_queue = self._metric_queue, []
+        if not queue:
+            return
         saw_skip = False
-        for scan_k, metrics, batch, base_step in queue:
-            host = jax.device_get(metrics)  # one bulk transfer per chunk
+        # ONE bulk transfer for every queued chunk (per-chunk device_gets
+        # each pay a transport round-trip on tunneled hosts)
+        hosts = jax.device_get([m for _, m, _, _ in queue])
+        for (scan_k, _, batch, base_step), host in zip(queue, hosts):
             saw_skip |= self._log_chunk(host, scan_k, batch, base_step)
         if saw_skip:
             # Resync the host-side TB x-axis with the true optimizer step so

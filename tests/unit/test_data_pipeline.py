@@ -122,6 +122,53 @@ class TestFrameBudgetBatcher:
         assert sum(len(x) for x in batches) == 40
 
 
+class TestCarryTail:
+    def _lengths(self, n=100, seed=0):
+        rng = np.random.default_rng(seed)
+        return [(int(l), int(l) // 8) for l in rng.integers(100, 1500, n)]
+
+    def test_only_global_tail_is_ragged(self):
+        """With the budget unbinding, carry_tail leaves every batch at full
+        rows except the final one (reference flushes short tails at every
+        quantile-bucket boundary)."""
+        lengths = self._lengths(101)
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=2**31, max_batch_size=8,
+            carry_tail=True, batch_order="shape_major",
+        )
+        batches = b.build_batches(0)
+        sizes = sorted((len(x) for x in batches), reverse=True)
+        assert sizes[:-1] == [8] * (len(sizes) - 1)
+        assert sum(sizes) == 101
+
+    def test_default_flushes_per_bucket(self):
+        lengths = self._lengths(101)
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=2**31, max_batch_size=8
+        )
+        ragged = [len(x) for x in b.build_batches(0) if len(x) < 8]
+        # sqrt(101) -> ~10 quantile buckets, most leave a short tail
+        assert len(ragged) > 1
+
+    def test_all_items_covered_once(self):
+        lengths = self._lengths(83)
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=5000, carry_tail=True
+        )
+        seen = [i for batch in b.build_batches(1) for i in batch]
+        assert sorted(seen) == list(range(83))
+
+    def test_budget_still_respected(self):
+        lengths = self._lengths(120)
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=4000, max_batch_size=8,
+            carry_tail=True,
+        )
+        for batch in b.build_batches(0):
+            cost = len(batch) * max(lengths[i][0] for i in batch)
+            assert cost <= 4000 or len(batch) == 1
+
+
 class TestShapeMajorOrder:
     MEL_BUCKETS = (512, 1024, 1536)
     PH_BUCKETS = (64, 128, 192)
