@@ -685,9 +685,14 @@ class KokoroTrainer:
             get = (lambda k: float(host[k][i])) if scan_k > 1 else (
                 lambda k: float(host[k])
             )
-            self._epoch_steps += 1
-            for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
-                self._epoch_sums[k] = self._epoch_sums.get(k, 0.0) + get(k)
+            if get("stepped") != 0.0:
+                # epoch averages cover only successfully processed steps
+                # (reference trainer.py:2038 accumulates after a successful
+                # _execute_training_step); a skipped step's losses are
+                # non-finite and would poison the mean
+                self._epoch_steps += 1
+                for k in ("total", "mel", "duration", "stop", "pitch", "energy"):
+                    self._epoch_sums[k] = self._epoch_sums.get(k, 0.0) + get(k)
             if get("total") > 10.0:
                 # host-side divergence warning (reference losses.py:159-199;
                 # the in-graph clamps already bound the backward)

@@ -241,3 +241,71 @@ class TestBatchDimQuantization:
             assert batch["mel_specs"].shape[0] == 4, group
             n = len(group[0])
             assert (np.asarray(batch["mel_lengths"][n:]) == 0).all()
+
+
+class TestCombinedDpAccumScan:
+    """DP mesh x gradient accumulation x scan_steps stacking in ONE trainer
+    run (VERDICT r2 #7's named combined case): the three batching axes
+    compose — (scan_k, accum, B, ...) — and numerics still match the
+    1-device mesh."""
+
+    def test_combined_axes_match_single_device(self, corpus, tmp_path):
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        def cfg(out, mesh):
+            return _dp_config(
+                corpus, tmp_path / out, mesh,
+                gradient_accumulation_steps=2,
+                scan_steps=2,
+                batch_size=1,
+                validation_split=0.0,
+                num_epochs=1,
+            )
+
+        t1 = KokoroTrainer(cfg("one", (1,)))
+        m1 = t1.train_epoch(0)
+        t1._drain_metrics()
+
+        t8 = KokoroTrainer(cfg("eight", (8,)))
+        m8 = t8.train_epoch(0)
+        t8._drain_metrics()
+
+        assert int(t1.state.opt_step) == int(t8.state.opt_step) >= 1
+        # scan-stacked accumulation chunks actually dispatched: the census
+        # recorded a 5-dim mel host shape (scan_k, accum, B, T, M)
+        assert any(
+            len(shape) == 5 and k == 2
+            for (shape, k) in t8._shape_counts
+        ), t8._shape_counts
+        for key in ("total", "mel"):
+            assert abs(m1[key] - m8[key]) < 5e-4, (key, m1[key], m8[key])
+        for p1, p8 in zip(
+            jax.tree_util.tree_leaves(t1.state.params),
+            jax.tree_util.tree_leaves(t8.state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p8), rtol=2e-4, atol=2e-5
+            )
+
+    def test_combined_axes_with_prefetch_disabled_match(self, corpus, tmp_path):
+        """Same combined run, prefetch off vs on: identical params."""
+        from kokoro_tpu.training.trainer import KokoroTrainer
+
+        def run(depth, out):
+            c = _dp_config(
+                corpus, tmp_path / out, (8,),
+                gradient_accumulation_steps=2, scan_steps=2, batch_size=1,
+                validation_split=0.0, num_epochs=1,
+                host_prefetch_depth=depth,
+            )
+            t = KokoroTrainer(c)
+            t.train_epoch(0)
+            t._drain_metrics()
+            return t.state.params
+
+        p_off = run(0, "poff")
+        p_on = run(2, "pon")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_off), jax.tree_util.tree_leaves(p_on)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
