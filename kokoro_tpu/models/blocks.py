@@ -41,6 +41,9 @@ _FLASH_BLOCK = 128  # sequence block for the pallas flash-attention kernel
 
 
 _FLASH_MIN_LEN = 1024
+# Incremented at TRACE time whenever the flash branch is baked into a program
+# (observability for real runs; see quality_run --long).
+FLASH_TRACE_COUNT = 0
 
 
 def _flash_supported(
@@ -269,6 +272,11 @@ class MultiHeadAttention(nn.Module):
             and _flash_supported(q.shape[2], k.shape[2], head_dim, causal)
         )
         if can_flash:
+            # trace-time counter: proves the flash branch was compiled into a
+            # live program (quality_run --long asserts this; a Python counter
+            # inside traced code increments once per trace, not per step)
+            global FLASH_TRACE_COUNT
+            FLASH_TRACE_COUNT += 1
             # INVARIANT: key_padding_mask, if any, must mark only a SUFFIX of
             # positions (right-padding).  Every caller satisfies this — collate
             # (data/batching.py) right-pads, and the AR decode path never takes

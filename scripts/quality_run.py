@@ -29,7 +29,9 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
+def build_corpus(
+    root: Path, n_utts: int, seed: int = 11, long_mode: bool = False
+) -> None:
     """Utterance-like synthetic speech: harmonic source with per-'word' f0
     moves + formant-ish filtered noise mixed per voiced/unvoiced segment, so
     duration/pitch/energy targets correlate with the text structure."""
@@ -47,7 +49,11 @@ def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
     sr = 22050
     lines = []
     for i in range(n_utts):
-        n_words = int(rng.integers(6, 12))
+        # long mode (VERDICT r2 #3): 18-30 words -> ~9-15 s of speech content,
+        # padded to a 16.35 s bucket = 1408 mel frames, so EVERY training
+        # sequence runs the flash-attention regime (>= 1024 causal frames),
+        # remat, and the 1400-frame stabilization thresholds
+        n_words = int(rng.integers(18, 31) if long_mode else rng.integers(6, 12))
         text_words = list(rng.choice(words, size=n_words))
         base_f0 = float(rng.uniform(100, 200))
         pieces = []
@@ -76,7 +82,7 @@ def build_corpus(root: Path, n_utts: int, seed: int = 11) -> None:
         audio = np.concatenate(pieces)
         # pad/trim to one audio length bucket (ONE extractor compile;
         # true mel lengths still vary for masking/packing)
-        target = int(4.4 * sr)
+        target = int((16.34 if long_mode else 4.4) * sr)
         if audio.shape[0] < target:
             audio = np.pad(audio, (0, target - audio.shape[0]))
         audio = audio[:target]
@@ -94,8 +100,9 @@ def run(args) -> int:
     out = Path(args.out)
     corpus = out / "corpus"
     if not (corpus / "metadata.csv").exists():
-        print(f"building corpus ({args.utts} utterances)...")
-        build_corpus(corpus, args.utts)
+        print(f"building corpus ({args.utts} utterances"
+              f"{', long mode' if args.long else ''})...")
+        build_corpus(corpus, args.utts, long_mode=args.long)
 
     def make_cfg(**kw):
         base = dict(
@@ -118,6 +125,19 @@ def run(args) -> int:
             mel_bucket_sizes=(384,),
             phoneme_bucket_sizes=(96, 128),
         )
+        if args.long:
+            # flagship long-sequence regime: 1408-frame sequences, flash
+            # attention active in training (requires dropout-free attention
+            # weights), remat ON (default), 1400-frame stabilization live
+            base.update(
+                max_seq_length=1408,
+                mel_bucket_sizes=(1408,),
+                phoneme_bucket_sizes=(192, 256),
+                max_frames_per_batch=18000,
+                max_batch_size=12,
+                use_flash_attention=True,
+                attention_weight_dropout=False,
+            )
         base.update(kw)
         return get_default_config(**base)
 
@@ -158,13 +178,26 @@ def run(args) -> int:
     result = trainer.train()
     wall = time.time() - t0
     assert int(trainer.state.opt_step) > step_at_break, "resume did not continue"
+    skipped = int(trainer.state.skipped_steps)
+    flash_traces = 0
+    if args.long:
+        from kokoro_tpu.models import blocks
+
+        flash_traces = int(blocks.FLASH_TRACE_COUNT)
+        assert flash_traces > 0, (
+            "long-sequence run did not compile the flash-attention path"
+        )
+        assert skipped == 0, f"{skipped} steps skipped in the long run"
 
     total_frames = sum(
         trainer.train_dataset.lengths(i)[0]
         for i in range(len(trainer.train_dataset))
     )
     payload = {
-        "config": "flagship default (512 hidden, 6+6 layers)",
+        "config": (
+            "flagship default + long-seq regime (1408 frames, flash, remat)"
+            if args.long else "flagship default (512 hidden, 6+6 layers)"
+        ),
         "corpus": f"synthetic, {args.utts} utterances, "
                   f"{total_frames} train mel-frames/epoch",
         "epochs": args.epochs,
@@ -173,22 +206,38 @@ def run(args) -> int:
         "wall_seconds": round(wall, 1),
         "best_val_mel": result["best_val_loss"],
         "best_val_epoch": int(result["best_val_epoch"]) + 1,
+        "skipped_steps": skipped,
+        "flash_trace_count": flash_traces,
         "history": history,
     }
-    (REPO / "docs" / "quality_run_metrics.json").write_text(
-        json.dumps(payload, indent=2)
+    metrics_name = (
+        "quality_run_long_metrics.json" if args.long
+        else "quality_run_metrics.json"
     )
+    (REPO / "docs" / metrics_name).write_text(json.dumps(payload, indent=2))
 
+    title = (
+        "# Long-sequence quality run (1408 frames, flash + remat live)"
+        if args.long else "# Quality-evidence run"
+    )
+    extra = (
+        [f"Every sequence trains at the 1408-frame bucket: pallas flash "
+         f"attention active in the compiled programs "
+         f"(trace count {flash_traces}), remat on, the 1400-frame "
+         f"stabilization regime live, {skipped} skipped steps.", ""]
+        if args.long else []
+    )
     lines = [
-        "# Quality-evidence run",
+        title,
         "",
         f"Flagship config (512 hidden, 6+6 layers, bf16) on a synthetic",
         f"{args.utts}-utterance corpus ({total_frames} train mel-frames/epoch),",
         f"{args.epochs} epochs with a checkpoint-resume break after epoch {half}",
         f"(run continued from optimizer step {step_at_break}).",
         "",
+        *extra,
         "Generated by `scripts/quality_run.py`; raw numbers in",
-        "`docs/quality_run_metrics.json`.",
+        f"`docs/{metrics_name}`.",
         "",
         "| epoch | step | train mel | val mel | val dur | val stop | spec-conv | F0 RMSE |",
         "|---|---|---|---|---|---|---|---|",
@@ -206,8 +255,9 @@ def run(args) -> int:
         f"first->last val mel {mels[0]:.4f} -> {mels[-1]:.4f}.",
         f"Wall time {wall / 60:.1f} min on {payload_device()}.",
     ]
-    (REPO / "docs" / "QUALITY_RUN.md").write_text("\n".join(lines) + "\n")
-    print(f"wrote docs/QUALITY_RUN.md (best val mel {min(mels):.4f})")
+    doc_name = "QUALITY_RUN_LONG.md" if args.long else "QUALITY_RUN.md"
+    (REPO / "docs" / doc_name).write_text("\n".join(lines) + "\n")
+    print(f"wrote docs/{doc_name} (best val mel {min(mels):.4f})")
     return 0
 
 
@@ -223,6 +273,12 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--utts", type=int, default=384)
     p.add_argument("--out", default="/tmp/kokoro_quality")
+    p.add_argument(
+        "--long", action="store_true",
+        help="long-sequence regime: 1408-frame sequences, flash attention "
+             "active in training, remat + 1400-frame stabilization live "
+             "(writes QUALITY_RUN_LONG.md)",
+    )
     return run(p.parse_args())
 
 
