@@ -165,17 +165,31 @@ def run(args) -> int:
             })
             return metrics
 
+    def train_with_retry(cfg, attempts=3):
+        """The remote-compile transport can flake transiently (HTTP body
+        errors); a retry rebuilds the trainer, which auto-resumes from any
+        checkpoint already written, with compiles warm in the persistent
+        cache."""
+        for attempt in range(1, attempts + 1):
+            trainer = RecordingTrainer(cfg)
+            try:
+                return trainer, trainer.train()
+            except Exception as err:
+                if attempt == attempts:
+                    raise
+                print(f"train attempt {attempt} failed ({err}); retrying...")
+                del trainer
+                time.sleep(15)
+
     half = max(args.epochs // 2, 1)
     t0 = time.time()
     print(f"phase 1: epochs 1..{half}")
-    trainer = RecordingTrainer(make_cfg(num_epochs=half))
-    trainer.train()
+    trainer, _ = train_with_retry(make_cfg(num_epochs=half))
     step_at_break = int(trainer.state.opt_step)
     del trainer
 
     print(f"phase 2: resume -> epochs {half + 1}..{args.epochs}")
-    trainer = RecordingTrainer(make_cfg(num_epochs=args.epochs))
-    result = trainer.train()
+    trainer, result = train_with_retry(make_cfg(num_epochs=args.epochs))
     wall = time.time() - t0
     assert int(trainer.state.opt_step) > step_at_break, "resume did not continue"
     skipped = int(trainer.state.skipped_steps)
