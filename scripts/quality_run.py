@@ -128,15 +128,27 @@ def run(args) -> int:
         if args.long:
             # flagship long-sequence regime: 1408-frame sequences, flash
             # attention active in training (requires dropout-free attention
-            # weights), remat ON (default), 1400-frame stabilization live
+            # weights), remat ON (default), 1400-frame stabilization live.
+            # COMPILE BUDGET (measured r3): remat(decoder) x flash x 1408
+            # frames is PATHOLOGICAL for the remote compiler — a single such
+            # program exceeded 30 min (with or without scan), while the same
+            # shapes with remat OFF compiled in ~4 min in the B x T sweep.
+            # Long sequences therefore run flash WITHOUT remat (the flash
+            # kernel already avoids the O(T^2) activations that remat exists
+            # to spill; HBM fits to B=32 x 1280 measured).  Remat numerics
+            # stay covered by test_model_forward::test_remat_matches_no_remat
+            # and the 48-epoch default-config quality run (remat on, 384 fr).
             base.update(
                 max_seq_length=1408,
                 mel_bucket_sizes=(1408,),
-                phoneme_bucket_sizes=(192, 256),
+                phoneme_bucket_sizes=(256,),
                 max_frames_per_batch=18000,
                 max_batch_size=12,
+                batch_size_multiple=12,
                 use_flash_attention=True,
                 attention_weight_dropout=False,
+                gradient_checkpointing=False,
+                scan_steps=1,
             )
         base.update(kw)
         return get_default_config(**base)
@@ -237,8 +249,12 @@ def run(args) -> int:
     extra = (
         [f"Every sequence trains at the 1408-frame bucket: pallas flash "
          f"attention active in the compiled programs "
-         f"(trace count {flash_traces}), remat on, the 1400-frame "
-         f"stabilization regime live, {skipped} skipped steps.", ""]
+         f"(trace count {flash_traces}), the 1400-frame stabilization "
+         f"regime live, {skipped} skipped steps.  Remat is OFF here: "
+         f"remat(decoder) x flash at this length is pathological for the "
+         f"remote compiler (>30 min/program measured) and flash already "
+         f"avoids the O(T^2) activations; remat numerics are unit-tested "
+         f"and exercised by the 48-epoch default-config run.", ""]
         if args.long else []
     )
     lines = [
