@@ -243,7 +243,7 @@ def run(args) -> int:
     (REPO / "docs" / metrics_name).write_text(json.dumps(payload, indent=2))
 
     title = (
-        "# Long-sequence quality run (1408 frames, flash + remat live)"
+        "# Long-sequence quality run (1408 frames, flash attention live)"
         if args.long else "# Quality-evidence run"
     )
     extra = (
