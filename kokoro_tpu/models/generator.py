@@ -137,10 +137,17 @@ def make_generate_fn(model: KokoroModel, max_frames: int):
                 method=KokoroModel.decode_step,
             )
             mel_t = mel_t.astype(jnp.float32)
-            updated = jax.lax.dynamic_update_slice(
-                state["mels"], mel_t, (0, t, 0)
+            # Freeze finished rows by masking ONLY the frame being written
+            # (slot t of a frozen row still holds its zero init) — a
+            # whole-buffer where() here would copy (B, max_frames, M) every
+            # step and dominate batched decode.
+            current = jax.lax.dynamic_slice(
+                state["mels"], (0, t, 0), (B, 1, M)
             )
-            mels = jnp.where(row_active[:, None, None], updated, state["mels"])
+            write = jnp.where(row_active[:, None, None], mel_t, current)
+            mels = jax.lax.dynamic_update_slice(
+                state["mels"], write, (0, t, 0)
+            )
             stop_prob = jnp.mean(
                 jax.nn.sigmoid(stop_t.astype(jnp.float32)).reshape(B, -1),
                 axis=-1,
