@@ -274,6 +274,11 @@ class TrainingConfig:
             raise ValueError(
                 f"rel_pos_type must be 'rope' or 'alibi', got {self.rel_pos_type!r}"
             )
+        if self.batch_order not in ("spread", "shape_major"):
+            raise ValueError(
+                f"batch_order must be 'spread' or 'shape_major', "
+                f"got {self.batch_order!r}"
+            )
         self.mel_bucket_sizes = tuple(sorted(self.mel_bucket_sizes))
         self.phoneme_bucket_sizes = tuple(sorted(self.phoneme_bucket_sizes))
         # JSON round-trips lists; tuple fields must normalize for equality
