@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     parser.add_argument("--max-len", type=int, default=None)
     parser.add_argument("--stop-threshold", type=float, default=None)
     parser.add_argument("--min-len-ratio", type=float, default=None)
+    parser.add_argument(
+        "--batched", action="store_true",
+        help="file mode: decode single-chunk utterances together "
+             "(one AR decode per phoneme-bucket group)",
+    )
     parser.add_argument("--interactive", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -81,7 +86,7 @@ def main(argv=None) -> int:
             for ln in Path(args.file).read_text(encoding="utf-8").splitlines()
             if ln.strip()
         ]
-        tts.batch_text_to_speech(texts, args.output_dir)
+        tts.batch_text_to_speech(texts, args.output_dir, batched=args.batched)
         return 0
 
     if not args.text:

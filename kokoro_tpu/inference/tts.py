@@ -312,8 +312,31 @@ class KokoroTTS:
             logger.info("Saved %s (%.2f s)", output_path, len(final) / self.sample_rate)
         return final
 
-    def batch_text_to_speech(self, texts: List[str], output_dir: str) -> None:
+    def batch_text_to_speech(
+        self, texts: List[str], output_dir: str, batched: bool = False
+    ) -> None:
+        """File-mode synthesis.  With ``batched=True``, single-chunk texts
+        decode TOGETHER through ``synthesize_mel_batch`` (one AR decode per
+        phoneme-bucket group — measured 5.1x the single-stream throughput at
+        32 streams, docs/PERFORMANCE.md); multi-chunk texts fall back to the
+        sequential path."""
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
-        for i, text in enumerate(texts):
-            self.text_to_speech(text, str(out / f"output_{i:04d}.wav"))
+        if not batched:
+            for i, text in enumerate(texts):
+                self.text_to_speech(text, str(out / f"output_{i:04d}.wav"))
+            return
+        single = [
+            i for i, t in enumerate(texts) if len(self.split_text(t)) == 1
+        ]
+        mels = self.synthesize_mel_batch([texts[i] for i in single])
+        for i, mel in zip(single, mels):
+            path = str(out / f"output_{i:04d}.wav")
+            if mel is None:
+                logger.warning("No output for %r", texts[i])
+                continue
+            audio = np.asarray(self.vocoder.mel_to_audio(jnp.asarray(mel)))
+            save_wav(path, audio, self.sample_rate)
+            logger.info("Saved %s (%.2f s)", path, len(audio) / self.sample_rate)
+        for i in sorted(set(range(len(texts))) - set(single)):
+            self.text_to_speech(texts[i], str(out / f"output_{i:04d}.wav"))

@@ -88,3 +88,31 @@ class TestG2pParityReport:
         assert out.returncode == 0, out.stdout + out.stderr
         assert "100.0%" in out.stdout
         assert (REPO / "docs" / "G2P_PARITY.md").exists()
+
+
+class TestBenchScriptsImportable:
+    """TPU-only bench scripts can't run here; assert they parse, import
+    their dependencies lazily, and build their static tables."""
+
+    def test_bench_step_shapes_parses_and_has_configs(self):
+        import ast
+
+        src = (SCRIPTS / "bench_step_shapes.py").read_text()
+        tree = ast.parse(src)
+        assert "CONFIGS" in src and "min(times)" in src
+        assert any(isinstance(n, ast.FunctionDef) and n.name == "main"
+                   for n in ast.walk(tree))
+
+    def test_bench_batched_decode_parses(self):
+        import ast
+
+        src = (SCRIPTS / "bench_batched_decode.py").read_text()
+        ast.parse(src)
+        # value-fetch barrier discipline (block_until_ready is not a true
+        # barrier on this transport)
+        assert "float(mel[0, 0, 0])" in src
+
+    def test_quality_run_long_flag_wired(self):
+        src = (SCRIPTS / "quality_run.py").read_text()
+        assert "--long" in src and "FLASH_TRACE_COUNT" in src
+        assert "QUALITY_RUN_LONG.md" in src

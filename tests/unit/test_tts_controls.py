@@ -124,3 +124,15 @@ class TestBatchedSynthesis:
         out = tts.synthesize_mel_batch(["...", "привет"])
         assert len(out) == 2
         assert out[1] is not None
+
+    def test_batch_file_mode_batched_writes_wavs(self, model_dir, tmp_path):
+        """kokoro-infer --file --batched: grouped decode writes one wav per
+        input, same filenames as the sequential path."""
+        tts = KokoroTTS(str(model_dir), vocoder_type="griffin_lim")
+        texts = ["привет мир", "как дела", "пока"]
+        tts.batch_text_to_speech(texts, str(tmp_path / "batched"), batched=True)
+        wavs = sorted((tmp_path / "batched").glob("output_*.wav"))
+        assert [w.name for w in wavs] == [
+            "output_0000.wav", "output_0001.wav", "output_0002.wav"
+        ]
+        assert all(w.stat().st_size > 1000 for w in wavs)
