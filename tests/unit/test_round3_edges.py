@@ -238,3 +238,97 @@ class TestChunkStreamCorners:
         stream = (({"x": np.full((2,), i, np.float32)}, 1) for i in range(4))
         got = list(t._prefetch_to_device(stream, depth=1))
         assert [int(h["x"][0]) for _, h, _ in got] == [0, 1, 2, 3]
+
+
+class TestHiFiGANBatchedParity:
+    def test_rows_match_single(self):
+        """Batched vocoding (B, T, M) reproduces per-row single vocoding —
+        the batched-serving vocoder contract."""
+        from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+
+        cfg = HiFiGANConfig(num_mels=8, upsample_rates=(4, 4),
+                            upsample_kernel_sizes=(8, 8),
+                            upsample_initial_channel=16)
+        gen = HiFiGANGenerator(cfg)
+        rng = np.random.default_rng(0)
+        mels = jnp.asarray(rng.normal(size=(3, 20, 8)).astype(np.float32))
+        params = gen.init(jax.random.PRNGKey(0), mels[:1])
+        batched = gen.apply(params, mels)
+        for i in range(3):
+            solo = gen.apply(params, mels[i : i + 1])
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(solo[0]),
+                rtol=2e-5, atol=2e-5,
+            )
+
+
+class TestSynthesizeBatchGrouping:
+    def test_one_generate_call_per_bucket(self, tmp_path, monkeypatch):
+        """Mixed-bucket inputs decode in exactly one generate call per
+        distinct phoneme bucket."""
+        from kokoro_tpu.inference.tts import KokoroTTS
+
+        tts = KokoroTTS.__new__(KokoroTTS)
+        tts.phoneme_processor = __import__(
+            "kokoro_tpu.data.phonemes", fromlist=["RussianPhonemeProcessor"]
+        ).RussianPhonemeProcessor()
+        tts.stop_threshold = 0.5
+        tts.post_stop_threshold = 0.2
+        tts.min_len_ratio = 0.7
+        tts.min_len_floor = 12
+        tts.max_frames = 64
+        tts.params = None
+        calls = []
+
+        def fake_generate(params, ph, st, pad, **kw):
+            calls.append(ph.shape)
+            B, L = ph.shape
+            mel = jnp.zeros((B, 16, 80))
+            if B == 1:
+                return mel, jnp.asarray(8), jnp.asarray(8)
+            return mel, jnp.full((B,), 8, jnp.int32), jnp.full((B,), 8, jnp.int32)
+
+        tts._generate = fake_generate
+        # 'да'/'нет' pad to the 32 bucket; the 53-phoneme sentence to 64
+        out = tts.synthesize_mel_batch([
+            "да", "нет",
+            "сегодня завтра погода ясная ветер слабый дождь вечером",
+        ])
+        assert len(out) == 3
+        # 'да'/'нет' share the small bucket; the long one gets its own
+        assert len(calls) == 2
+        assert sorted(c[0] for c in calls) == [1, 2]
+
+
+class TestEvalMetricContract:
+    def test_eval_step_reports_parity_metrics(self):
+        """The eval step must expose the BASELINE.json parity metrics:
+        spectral_convergence, f0_rmse, mcd (reference trainer.py:1865-1910
+        + the MCD addition)."""
+        from kokoro_tpu.config import get_smoke_test_config
+        from kokoro_tpu.training.train_step import make_eval_step
+
+        model = tiny_model()
+        cfg = get_smoke_test_config()
+        rng = np.random.default_rng(0)
+        B, L, T = 2, 6, 24
+        batch = {
+            "phoneme_indices": jnp.asarray(rng.integers(1, VOCAB, (B, L))),
+            "stress_indices": jnp.asarray(rng.integers(0, 3, (B, L))),
+            "mel_specs": jnp.asarray(rng.normal(size=(B, T, 8)).astype(np.float32)),
+            "phoneme_durations": jnp.full((B, L), 4, jnp.int32),
+            "pitch_targets": jnp.zeros((B, T)),
+            "energy_targets": jnp.zeros((B, T)),
+            "stop_token_targets": jnp.zeros((B, T)),
+            "mel_lengths": jnp.full((B,), T, jnp.int32),
+            "phoneme_lengths": jnp.full((B,), L, jnp.int32),
+        }
+        params = model.init(jax.random.PRNGKey(0), **{
+            k: batch[k] for k in ("phoneme_indices", "mel_specs",
+                                  "phoneme_durations", "stress_indices")
+        }, deterministic=True)
+        eval_step = jax.jit(make_eval_step(model, cfg))
+        metrics = eval_step(params, batch)
+        for key in ("total", "mel", "spectral_convergence", "f0_rmse", "mcd"):
+            assert key in metrics, key
+            assert np.isfinite(float(metrics[key])), key
