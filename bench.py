@@ -270,9 +270,28 @@ def main() -> None:
     )
 
     # Warmup: compile + settle buffer layouts.  End with a VALUE fetch.
-    for i in range(2):
-        state, metrics = train_step(state, batches, jax.random.PRNGKey(i + 100))
-    _ = float(metrics["total"][-1])
+    # The remote-compile transport can flake transiently (HTTP body errors);
+    # one retry re-dispatches with the compile already cached.
+    for attempt in (1, 2):
+        try:
+            for i in range(2):
+                state, metrics = train_step(
+                    state, batches, jax.random.PRNGKey(i + 100)
+                )
+            _ = float(metrics["total"][-1])
+            break
+        except Exception as err:
+            if attempt == 2:
+                raise
+            print(f"compute-only warmup attempt 1 failed ({err}); retrying",
+                  flush=True)
+            time.sleep(10)
+            # the failed dispatch may have donated the old state's buffers
+            # (and params lives inside it) — rebuild both from scratch
+            params = init_params(model, key, batch)
+            state = create_train_state(
+                model, config, optimizer, key, batch, params=params
+            )
 
     n_calls = 4
     times = []
