@@ -1,0 +1,368 @@
+"""RoPE and SpecAugment depth tests.
+
+Mirrors the behavior contracts of the reference suites
+``tests/unit/test_rope_positional_encoding.py`` (33 fns, reference
+model/positional_encoding.py:96-209) and ``tests/unit/test_spec_augment.py``
+(17 fns, reference config.py:148-166 + model.py:636-639) against the repo's
+pure-functional equivalents: `kokoro_tpu.models.positional`
+(rope_cos_sin / apply_rope), MultiHeadAttention's rope paths, and
+`kokoro_tpu.ops.specaugment.apply_spec_augment`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kokoro_tpu.models.blocks import (
+    DecoderBlock,
+    EncoderBlock,
+    MultiHeadAttention,
+)
+from kokoro_tpu.models.positional import apply_rope, rope_cos_sin
+from kokoro_tpu.ops.specaugment import apply_spec_augment
+
+
+# ---------------------------------------------------------------------------
+# rope_cos_sin table contracts (reference :23-48)
+# ---------------------------------------------------------------------------
+class TestRopeCosSin:
+    def test_shapes(self):
+        cos, sin = rope_cos_sin(jnp.arange(7), head_dim=8)
+        assert cos.shape == (7, 4) and sin.shape == (7, 4)
+
+    def test_position_zero_is_identity_angles(self):
+        cos, sin = rope_cos_sin(jnp.zeros((3,), jnp.int32), head_dim=8)
+        np.testing.assert_allclose(cos, 1.0)
+        np.testing.assert_allclose(sin, 0.0)
+
+    def test_frequencies_decrease_across_pairs(self):
+        """inv_freq = base^(-i/half) is strictly decreasing, so at position 1
+        the rotation angle shrinks across pair index."""
+        cos, sin = rope_cos_sin(jnp.array([1]), head_dim=16)
+        angles = np.arctan2(np.asarray(sin[0]), np.asarray(cos[0]))
+        assert np.all(np.diff(angles) < 0)
+
+    def test_first_pair_angle_equals_position(self):
+        """Pair 0 has inv_freq exactly 1 → angle == position (mod 2π)."""
+        cos, sin = rope_cos_sin(jnp.array([2]), head_dim=8)
+        assert np.isclose(float(cos[0, 0]), np.cos(2.0), atol=1e-6)
+        assert np.isclose(float(sin[0, 0]), np.sin(2.0), atol=1e-6)
+
+    def test_base_parameter_changes_tables(self):
+        cos1, _ = rope_cos_sin(jnp.array([5]), head_dim=8, base=10000.0)
+        cos2, _ = rope_cos_sin(jnp.array([5]), head_dim=8, base=500.0)
+        assert not np.allclose(cos1, cos2)
+
+    def test_dtype_passthrough(self):
+        cos, sin = rope_cos_sin(jnp.arange(4), head_dim=8, dtype=jnp.bfloat16)
+        assert cos.dtype == jnp.bfloat16 and sin.dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# apply_rope (reference :50-160)
+# ---------------------------------------------------------------------------
+class TestApplyRope:
+    @pytest.mark.parametrize("T", [1, 5, 64])
+    def test_output_shape_preserved(self, T):
+        x = jnp.ones((2, 4, T, 16))
+        assert apply_rope(x, jnp.arange(T)).shape == x.shape
+
+    def test_output_finite_at_large_positions(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 3, 32))
+        out = apply_rope(x, jnp.array([100_000, 200_000, 1_000_000]))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_rotation_is_not_identity_at_nonzero_position(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 4, 8))
+        out = apply_rope(x, jnp.arange(1, 5))
+        assert not np.allclose(out, x)
+
+    def test_interleaved_pair_convention(self):
+        """Basis vector (1, 0) in pair 0 at position p rotates to
+        (cos p, sin p) — pins the even/odd interleaved layout."""
+        x = jnp.zeros((1, 1, 1, 8)).at[0, 0, 0, 0].set(1.0)
+        out = np.asarray(apply_rope(x, jnp.array([3])))[0, 0, 0]
+        assert np.isclose(out[0], np.cos(3.0), atol=1e-6)
+        assert np.isclose(out[1], np.sin(3.0), atol=1e-6)
+        np.testing.assert_allclose(out[2:], 0.0, atol=1e-7)
+
+    def test_negative_positions_invert_rotation(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 3, 16))
+        fwd = apply_rope(x, jnp.array([4, 4, 4]))
+        back = apply_rope(fwd, jnp.array([-4, -4, -4]))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+    def test_offset_shifts_rotation(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 4, 8))
+        a = apply_rope(x, jnp.arange(4))
+        b = apply_rope(x, jnp.arange(4) + 7)
+        assert not np.allclose(a, b)
+
+    def test_dtype_passthrough_bfloat16(self):
+        x = jnp.ones((1, 1, 2, 8), jnp.bfloat16)
+        assert apply_rope(x, jnp.arange(2)).dtype == jnp.bfloat16
+
+    def test_norm_preserved_whole_vector(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 5, 32))
+        out = apply_rope(x, jnp.arange(5))
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_relative_distance_in_dot_product(self):
+        """q·k after RoPE depends on (q_pos - k_pos) only (reference :122)."""
+        q = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 1, 16))
+        k = jax.random.normal(jax.random.PRNGKey(6), (1, 1, 1, 16))
+        def dot(qp, kp):
+            qr = apply_rope(q, jnp.array([qp]))
+            kr = apply_rope(k, jnp.array([kp]))
+            return float(jnp.sum(qr * kr))
+        assert np.isclose(dot(10, 7), dot(23, 20), atol=1e-4)
+        assert not np.isclose(dot(10, 7), dot(10, 2), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MHA / block-level rope wiring (reference :164-379)
+# ---------------------------------------------------------------------------
+def _mha(use_rope=True, **kw):
+    return MultiHeadAttention(d_model=32, num_heads=4, dropout=0.0,
+                              use_rope=use_rope, **kw)
+
+
+def _init_apply(mod, *args, **kw):
+    params = mod.init(jax.random.PRNGKey(0), *args, **kw)
+    out = mod.apply(params, *args, **kw)
+    return params, out
+
+
+class TestAttentionRope:
+    def test_rope_self_attention_shape_and_finite(self):
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 6, 32))
+        _, (out, cache) = _init_apply(_mha(), x)
+        assert out.shape == (2, 6, 32) and cache is None
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_rope_differs_from_no_rel_pos(self):
+        x = jax.random.normal(jax.random.PRNGKey(8), (1, 5, 32))
+        rope = _mha(True)
+        none = _mha(False)
+        params = rope.init(jax.random.PRNGKey(0), x)
+        out_r, _ = rope.apply(params, x)
+        out_n, _ = none.apply(params, x)  # identical weights
+        assert not np.allclose(out_r, out_n)
+
+    def test_causal_with_rope_is_future_invariant(self):
+        mha = _mha()
+        x = jax.random.normal(jax.random.PRNGKey(9), (1, 6, 32))
+        params = mha.init(jax.random.PRNGKey(0), x, causal=True)
+        out_a, _ = mha.apply(params, x, causal=True)
+        x2 = x.at[0, 4:].set(99.0)  # mutate the future
+        out_b, _ = mha.apply(params, x2, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out_a)[0, :4], np.asarray(out_b)[0, :4], atol=1e-5
+        )
+
+    def test_gradient_flows_through_rope(self):
+        mha = _mha()
+        x = jax.random.normal(jax.random.PRNGKey(10), (1, 4, 32))
+        params = mha.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(
+            lambda p: jnp.sum(mha.apply(p, x)[0] ** 2)
+        )(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    def test_decoder_block_cross_attention_has_no_rope(self):
+        """Cross-attn over expanded memory is absolute-position only
+        (kokoro_tpu/models/blocks.py:464) — the reference applies RoPE only
+        in self-attention."""
+        blk = DecoderBlock(d_model=32, num_heads=4, dim_feedforward=48,
+                           dropout=0.0, rel_pos_type="rope")
+        x = jax.random.normal(jax.random.PRNGKey(11), (1, 4, 32))
+        mem = jax.random.normal(jax.random.PRNGKey(12), (1, 7, 32))
+        params = blk.init(jax.random.PRNGKey(0), x, mem)
+        # self-attn uses rope, cross-attn does not
+        assert blk.rel_pos_type == "rope"
+        out = blk.apply(params, x, mem)
+        y = out[0] if isinstance(out, tuple) else out
+        assert y.shape == (1, 4, 32)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_encoder_block_rope_vs_alibi_differ(self):
+        x = jax.random.normal(jax.random.PRNGKey(13), (1, 5, 32))
+        rope_blk = EncoderBlock(d_model=32, num_heads=4, dim_feedforward=48,
+                                dropout=0.0, rel_pos_type="rope")
+        alibi_blk = EncoderBlock(d_model=32, num_heads=4, dim_feedforward=48,
+                                 dropout=0.0, rel_pos_type="alibi")
+        p = rope_blk.init(jax.random.PRNGKey(0), x)
+        out_r = rope_blk.apply(p, x)
+        out_a = alibi_blk.apply(p, x)
+        assert not np.allclose(np.asarray(out_r), np.asarray(out_a))
+
+    def test_rel_pos_type_stored_on_blocks(self):
+        assert EncoderBlock(d_model=32, num_heads=4, dim_feedforward=48,
+                            dropout=0.0).rel_pos_type == "rope"
+        assert DecoderBlock(d_model=32, num_heads=4, dim_feedforward=48,
+                            dropout=0.0,
+                            rel_pos_type="alibi").rel_pos_type == "alibi"
+
+    def test_cached_decode_rope_positions_match_full_pass(self):
+        """One-step cached decode at index i must equal row i of the full
+        causal pass — pins the `index + arange` rope positions on the cache
+        path (kokoro_tpu/models/blocks.py:231-234)."""
+        mha = _mha()
+        B, T, D, H = 1, 5, 32, 4
+        x = jax.random.normal(jax.random.PRNGKey(14), (B, T, D))
+        params = mha.init(jax.random.PRNGKey(0), x, causal=True)
+        full, _ = mha.apply(params, x, causal=True)
+        cache = {
+            "k": jnp.zeros((B, H, T, D // H)),
+            "v": jnp.zeros((B, H, T, D // H)),
+            "index": 0,
+        }
+        outs = []
+        for t in range(T):
+            step, cache = mha.apply(
+                params, x[:, t : t + 1], kv_cache=cache
+            )
+            outs.append(step)
+        stepped = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(stepped), np.asarray(full), atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment (reference test_spec_augment.py:26-198)
+# ---------------------------------------------------------------------------
+KEY = jax.random.PRNGKey(42)
+
+
+def _mem(B=3, T=24, D=16, dtype=jnp.float32, seed=0):
+    x = jax.random.normal(jax.random.PRNGKey(seed), (B, T, D))
+    return (x + 1.5).astype(dtype)  # keep entries away from 0
+
+
+class TestSpecAugment:
+    def test_output_shape_unchanged(self):
+        m = _mem()
+        assert apply_spec_augment(m, KEY).shape == m.shape
+
+    def test_output_dtype_unchanged(self):
+        m = _mem(dtype=jnp.bfloat16)
+        assert apply_spec_augment(m, KEY).dtype == jnp.bfloat16
+
+    def test_single_batch_item(self):
+        m = _mem(B=1)
+        out = apply_spec_augment(m, KEY)
+        assert out.shape == m.shape
+
+    def test_original_not_modified(self):
+        m = _mem()
+        before = np.asarray(m).copy()
+        apply_spec_augment(m, KEY)
+        np.testing.assert_array_equal(np.asarray(m), before)
+
+    def test_same_key_is_deterministic(self):
+        m = _mem()
+        a = apply_spec_augment(m, KEY)
+        b = apply_spec_augment(m, KEY)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_time_masking_zeroes_whole_frames(self):
+        m = _mem(T=16, D=8)
+        out = np.asarray(
+            apply_spec_augment(
+                m, KEY, time_mask_max=8, freq_mask_max=0,
+                num_time_masks=2, num_freq_masks=0,
+            )
+        )
+        # a masked time step is zero across the whole feature dim
+        zero_rows = np.all(out == 0, axis=-1)
+        partial = np.any(out == 0, axis=-1) & ~zero_rows
+        assert not partial.any()
+
+    def test_freq_masking_zeroes_whole_bins(self):
+        m = _mem(T=8, D=16)
+        out = np.asarray(
+            apply_spec_augment(
+                m, KEY, time_mask_max=0, freq_mask_max=8,
+                num_time_masks=0, num_freq_masks=2,
+            )
+        )
+        zero_cols = np.all(out == 0, axis=1)
+        partial = np.any(out == 0, axis=1) & ~zero_cols
+        assert not partial.any()
+
+    def test_zero_mask_counts_identity(self):
+        m = _mem()
+        out = apply_spec_augment(
+            m, KEY, num_time_masks=0, num_freq_masks=0
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(m))
+
+    def test_masking_stays_within_configured_budget(self):
+        m = _mem(B=8, T=32, D=16)
+        out = np.asarray(
+            apply_spec_augment(
+                m, KEY, time_mask_max=4, freq_mask_max=0,
+                num_time_masks=2, num_freq_masks=0,
+            )
+        )
+        zero_rows = np.all(out == 0, axis=-1).sum(axis=-1)  # per sample
+        assert (zero_rows <= 2 * 4).all()
+
+    def test_not_all_frames_zeroed(self):
+        m = _mem(T=32)
+        out = np.asarray(apply_spec_augment(m, KEY))
+        assert (np.abs(out).sum(axis=(1, 2)) > 0).all()
+
+    def test_unmasked_values_exactly_preserved(self):
+        m = _mem()
+        out = np.asarray(apply_spec_augment(m, KEY))
+        orig = np.asarray(m)
+        kept = out != 0
+        np.testing.assert_array_equal(out[kept], orig[kept])
+
+    def test_per_sample_masks_differ(self):
+        """Masks are sampled per batch row, not shared (reference applies
+        per-sample torch masking; repo samples (B, n_masks) spans)."""
+        m = jnp.ones((16, 64, 8))
+        out = np.asarray(
+            apply_spec_augment(
+                m, KEY, time_mask_max=16, freq_mask_max=0,
+                num_time_masks=1, num_freq_masks=0,
+            )
+        )
+        patterns = {tuple(np.all(out[i] == 0, axis=-1)) for i in range(16)}
+        assert len(patterns) > 1
+
+    def test_config_defaults_match_reference_knobs(self):
+        from kokoro_tpu.config import TrainingConfig
+
+        cfg = TrainingConfig()
+        assert cfg.use_spec_augment is True
+        assert cfg.spec_augment_time_mask_max == 5
+        assert cfg.spec_augment_freq_mask_max == 3
+        assert cfg.spec_augment_num_time_masks == 1
+        assert cfg.spec_augment_num_freq_masks == 2
+        assert isinstance(cfg.spec_augment_start_epoch, int)
+
+    def test_epoch_gate_boolean_logic(self):
+        """(epoch+1) >= start_epoch AND use_spec_augment — the trainer's gate
+        (kokoro_tpu/training/trainer.py:439-440)."""
+        from kokoro_tpu.config import get_smoke_test_config
+
+        cfg = get_smoke_test_config()
+        cfg.use_spec_augment = True
+        cfg.spec_augment_start_epoch = 3
+        gate = lambda epoch: cfg.use_spec_augment and (
+            (epoch + 1) >= cfg.spec_augment_start_epoch
+        )
+        assert [gate(e) for e in range(4)] == [False, False, True, True]
+        cfg.use_spec_augment = False
+        assert not any(gate(e) for e in range(100))
