@@ -163,10 +163,13 @@ def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
     )
     # min-of-N epochs: transport jitter only ever adds time (same discipline
     # as the compute-only min-of-N).  Epoch 1 often still pays straggler
-    # compiles (per-epoch repacking can surface a tail shape epoch 0 missed).
+    # compiles (per-epoch repacking can surface a tail shape epoch 0 missed;
+    # measured 40-130 s of one-time program loads), so 6 epochs are measured
+    # to get enough clean min samples under tunnel jitter.
     trainer._shape_counts = {}
     times = []
-    for e in (1, 2, 3, 4):
+    n_epochs_measured = 6
+    for e in range(1, n_epochs_measured + 1):
         t0 = time.perf_counter()
         trainer.train_epoch(e)
         _ = float(trainer.state.opt_step)  # value fetch = true device barrier
@@ -180,7 +183,6 @@ def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
         b, t = shape[-3], shape[-2]
         shape_steps[f"B{b}xT{t}xk{scan_k}"] = steps
         padded_frames += b * t * steps
-    n_epochs_measured = 4
     eff = total_frames * n_epochs_measured / max(padded_frames, 1)
     log(f"measured epochs {[round(t, 2) for t in times]}s, "
         f"{total_frames} true frames, shapes {shape_steps}, "
@@ -310,6 +312,14 @@ def main() -> None:
     # mid-phase the compute-only number would be lost too.  SIGALRM bounds
     # the phase so the JSON line ALWAYS prints.
     import signal
+
+    # Free the compute-only phase's device residents (donated state chain,
+    # stacked batches) so the e2e trainer doesn't run under avoidable HBM
+    # pressure from a previous phase.
+    del state, batches, metrics
+    import gc
+
+    gc.collect()
 
     budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "900"))
 

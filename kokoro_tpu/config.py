@@ -279,6 +279,11 @@ class TrainingConfig:
                 f"batch_order must be 'spread' or 'shape_major', "
                 f"got {self.batch_order!r}"
             )
+        if self.batch_transfer_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"batch_transfer_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.batch_transfer_dtype!r}"
+            )
         self.mel_bucket_sizes = tuple(sorted(self.mel_bucket_sizes))
         self.phoneme_bucket_sizes = tuple(sorted(self.phoneme_bucket_sizes))
         # JSON round-trips lists; tuple fields must normalize for equality
