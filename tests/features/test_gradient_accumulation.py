@@ -1,0 +1,151 @@
+"""Feature pack: gradient accumulation (mirrors reference
+tests/features/test_gradient_accumulation.py + validate_gradient_accumulation.py
+— asserted end-to-end on the live train step: an accumulated step over k
+microbatches must land on the same PARAMETERS as one big-batch step,
+kokoro_tpu/training/train_step.py:249-377)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kokoro_tpu.config import get_smoke_test_config
+from kokoro_tpu.models.kokoro import KokoroModel
+from kokoro_tpu.training.optimizer import build_optimizer, build_preclip_tree
+from kokoro_tpu.training.train_step import create_train_state, make_train_step
+
+VOCAB = 24
+
+
+def tiny_model():
+    return KokoroModel(
+        vocab_size=VOCAB, n_mels=8, hidden_dim=32, n_encoder_layers=1,
+        n_decoder_layers=1, n_heads=4, encoder_ff_dim=48, decoder_ff_dim=48,
+        variance_filter_size=16, n_variance_bins=16,
+        gradient_checkpointing=False, use_stochastic_depth=False,
+        use_spec_augment=False, encoder_dropout=0.0, decoder_dropout=0.0,
+        # zero EVERY stochastic knob: the equivalence contract needs the
+        # forward pass independent of how the rng is split per microbatch
+        decoder_input_dropout=0.0, variance_dropout=0.0,
+    )
+
+
+def make_batch(B, L=5, T=16, M=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "phoneme_indices": jnp.asarray(
+            rng.integers(1, VOCAB, size=(B, L)), jnp.int32),
+        "stress_indices": jnp.asarray(
+            rng.integers(0, 3, size=(B, L)), jnp.int32),
+        "phoneme_durations": jnp.asarray(
+            rng.integers(1, 4, size=(B, L)), jnp.int32),
+        "mel_specs": jnp.asarray(
+            rng.normal(size=(B, T, M)).astype(np.float32)),
+        "pitch_targets": jnp.asarray(
+            rng.uniform(size=(B, T)).astype(np.float32)),
+        "energy_targets": jnp.asarray(
+            rng.uniform(size=(B, T)).astype(np.float32)),
+        "stop_token_targets": jnp.zeros((B, T), jnp.float32),
+        "mel_lengths": jnp.full((B,), T, jnp.int32),
+        "phoneme_lengths": jnp.full((B,), L, jnp.int32),
+    }
+
+
+def chunked(batch, k):
+    """(B,...) -> (k, B//k, ...) microbatch axis."""
+    return {
+        key: v.reshape((k, v.shape[0] // k) + v.shape[1:])
+        for key, v in batch.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # Clipping needs no special handling: grads are accumulated (averaged)
+    # BEFORE any clip, so both paths see identical gradients.
+    cfg = get_smoke_test_config()
+    model = tiny_model()
+    batch = make_batch(8)
+    opt = build_optimizer(cfg, model.init(
+        jax.random.PRNGKey(0),
+        phoneme_indices=batch["phoneme_indices"],
+        mel_specs=batch["mel_specs"],
+        phoneme_durations=batch["phoneme_durations"],
+        stress_indices=batch["stress_indices"],
+        pitch_targets=batch["pitch_targets"],
+        energy_targets=batch["energy_targets"],
+        deterministic=True,
+    ), total_steps=50)
+    return cfg, model, opt
+
+
+def fresh_state(cfg, model, opt):
+    return create_train_state(
+        model, cfg, opt, jax.random.PRNGKey(0), make_batch(8))
+
+
+class TestAccumulationEquivalence:
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_accumulated_params_match_big_batch(self, setup, k):
+        """mean-of-microbatch-grads == big-batch grad, so the UPDATED
+        PARAMETERS must match (the reference validate script checks grads;
+        parameters are the stronger end-to-end form)."""
+        cfg, model, opt = setup
+        step = make_train_step(model, cfg, opt, None, ema_decay=0.9)
+        jstep = jax.jit(step)
+        rng = jax.random.PRNGKey(3)
+
+        big_state, big_metrics = jstep(
+            fresh_state(cfg, model, opt), make_batch(8), rng)
+        acc_state, acc_metrics = jstep(
+            fresh_state(cfg, model, opt), chunked(make_batch(8), k), rng)
+
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            big_state.params, acc_state.params,
+        )
+        # one AdamW step moves params by ~lr (5e-5); equivalent grads must
+        # land far inside that (pure f32 reduction-order noise)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+        assert abs(float(big_metrics["total"]) - float(acc_metrics["total"])) < 1e-4
+
+    def test_accumulated_loss_is_microbatch_mean(self, setup):
+        cfg, model, opt = setup
+        step = make_train_step(model, cfg, opt, None, ema_decay=0.9)
+        jstep = jax.jit(step)
+        rng = jax.random.PRNGKey(5)
+        full = make_batch(8, seed=9)
+        micro = chunked(full, 4)
+        _, m_acc = jstep(fresh_state(cfg, model, opt), micro, rng)
+        # loss of the accumulated step equals the mean over its microbatches
+        per_micro = []
+        for i in range(4):
+            one = {key: v[i] for key, v in micro.items()}
+            _, m_one = jstep(fresh_state(cfg, model, opt), one, rng)
+            per_micro.append(float(m_one["total"]))
+        assert abs(float(m_acc["total"]) - np.mean(per_micro)) < 1e-3
+
+    def test_one_optimizer_step_regardless_of_chunks(self, setup):
+        cfg, model, opt = setup
+        step = make_train_step(model, cfg, opt, None, ema_decay=0.9)
+        jstep = jax.jit(step)
+        state, _ = jstep(
+            fresh_state(cfg, model, opt), chunked(make_batch(8), 4),
+            jax.random.PRNGKey(0))
+        assert int(state.opt_step) == 1
+        assert int(state.ema_updates) == 1
+
+
+class TestEffectiveBatchConfig:
+    def test_config_reports_effective_batch(self):
+        """Reference script's arithmetic: effective batch = batch_size x
+        gradient_accumulation_steps."""
+        cfg = get_smoke_test_config(
+            batch_size=4, gradient_accumulation_steps=8)
+        assert cfg.batch_size * cfg.gradient_accumulation_steps == 32
+
+    def test_optimizer_steps_per_epoch_rounding(self):
+        """ceil-division contract the reference prints for the timeline."""
+        num_batches, accum = 625, 4
+        steps = (num_batches + accum - 1) // accum
+        assert steps == 157
