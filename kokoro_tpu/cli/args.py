@@ -38,11 +38,13 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--save-every", type=int, default=None)
     g.add_argument("--early-stopping-patience", type=int, default=None)
     g.add_argument("--verbose", action="store_true")
-    d = parser.add_argument_group("data parallelism (TPU)")
+    d = parser.add_argument_group("parallelism (TPU)")
     d.add_argument(
         "--mesh-shape", default=None,
-        help="comma-separated data-parallel mesh shape, e.g. '8'. Default: "
-        "all visible devices (single-device when only one is visible)",
+        help="comma-separated device-mesh shape: '8' = 8-way data parallel, "
+        "'4,2' = 4-way data x 2-way tensor parallel (Megatron-style param "
+        "sharding over the 'model' axis). Default: all visible devices, "
+        "data-parallel",
     )
     d.add_argument(
         "--distributed", action="store_true",

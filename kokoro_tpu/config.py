@@ -175,6 +175,11 @@ class TrainingConfig:
     save_every: int = 5
     resume_checkpoint: str = "auto"
     keep_checkpoints: int = 5
+    # Async epoch/best saves: Orbax copies state to host synchronously, then
+    # the disk write overlaps the next epoch's device compute.  metadata.json
+    # (the resume-discovery marker) is written only when the async write
+    # finalizes, so a crash mid-save falls back to the previous checkpoint.
+    async_checkpointing: bool = False
 
     # --- Validation (reference config.py:293-297) ---
     validation_split: float = 0.1
@@ -290,6 +295,17 @@ class TrainingConfig:
         self.mesh_axis_names = tuple(self.mesh_axis_names)
         if self.mesh_shape is not None:
             self.mesh_shape = tuple(self.mesh_shape)
+            if len(self.mesh_shape) > 2:
+                raise ValueError(
+                    "mesh_shape supports at most 2 axes (data, model); "
+                    f"got {self.mesh_shape}"
+                )
+        bad_axes = set(self.mesh_axis_names) - {"data", "model"}
+        if bad_axes:
+            raise ValueError(
+                f"unknown mesh axis names {sorted(bad_axes)}; "
+                "supported: 'data' (batch) and 'model' (tensor parallel)"
+            )
         if self.mel_bucket_sizes and self.mel_bucket_sizes[-1] < self.max_seq_length:
             self.mel_bucket_sizes = self.mel_bucket_sizes + (self.max_seq_length,)
 
@@ -357,6 +373,7 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         batch_order="shape_major",
         carry_tail=True,
         batch_size_multiple=16,
+        async_checkpointing=True,
     )
     base.update(overrides)
     return TrainingConfig(**base)

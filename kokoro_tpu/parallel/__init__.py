@@ -1,12 +1,21 @@
-"""Data-parallel scale-out over a jax.sharding.Mesh.
+"""Data- and tensor-parallel scale-out over a jax.sharding.Mesh.
 
 This layer has NO reference counterpart — the reference trains on exactly one
 device (SURVEY.md §2.9: no torch.distributed anywhere).  The semantics it must
 preserve are the reference's single-device ones: global batch = sum of
 per-device batches, identical loss masking, EMA/scheduler counters advance per
-optimizer step on GLOBAL quantities.
+optimizer step on GLOBAL quantities.  Tensor parallelism (parallel/tp.py) adds
+a 'model' mesh axis with Megatron-style parameter shardings, preserving the
+same single-device numerics.
 """
 
+from kokoro_tpu.parallel.tp import (
+    dp_size,
+    leaf_pspec,
+    shard_tree,
+    tp_size,
+    tree_shardings,
+)
 from kokoro_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -31,4 +40,9 @@ __all__ = [
     "put_batch",
     "round_up_to_multiple",
     "shard_batch",
+    "dp_size",
+    "leaf_pspec",
+    "shard_tree",
+    "tp_size",
+    "tree_shardings",
 ]

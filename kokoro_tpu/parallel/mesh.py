@@ -51,10 +51,15 @@ _TRAILING_DIMS: Dict[str, int] = {
 }
 
 
+_DEFAULT_AXIS_NAMES = ("data", "model")
+
+
 def create_mesh(
     config: Optional[TrainingConfig] = None, devices=None
 ) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """Device mesh: 1-D ``(data,)`` for pure DP, 2-D ``(data, model)`` for
+    DP x tensor-parallel (parallel/tp.py rules).  Axis names beyond those the
+    config provides default to the ``(data, model)`` convention."""
     if devices is None:
         devices = jax.devices()
     shape = (
@@ -62,9 +67,10 @@ def create_mesh(
         if config is not None and config.mesh_shape is not None
         else (len(devices),)
     )
-    names = (
-        tuple(config.mesh_axis_names) if config is not None else ("data",)
-    )[: len(shape)]
+    names = tuple(config.mesh_axis_names) if config is not None else ("data",)
+    if len(names) < len(shape):
+        names = names + _DEFAULT_AXIS_NAMES[len(names): len(shape)]
+    names = names[: len(shape)]
     dev_array = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
     return Mesh(dev_array, names)
 
@@ -166,32 +172,40 @@ def round_up_to_multiple(n: int, multiple: int) -> int:
     return -(-n // max(multiple, 1)) * max(multiple, 1)
 
 
-def make_sharded_train_step(train_step, mesh: Mesh, donate_state: bool = True):
-    """jit the train step over the mesh: batch data-sharded, state replicated.
+def make_sharded_train_step(
+    train_step, mesh: Mesh, donate_state: bool = True, state_sharding=None
+):
+    """jit the train step over the mesh: batch data-sharded, state replicated
+    (pure DP) or sharded per the tensor-parallel rules when ``state_sharding``
+    (a NamedSharding pytree matching the TrainState, parallel/tp.py) is given.
 
-    XLA inserts a psum over 'data' for the gradients because the (replicated)
-    parameter update consumes batch-sharded intermediates — no manual
-    collectives needed for pure DP.
+    XLA inserts a psum over 'data' for the gradients because the parameter
+    update consumes batch-sharded intermediates, and the TP collectives
+    (all-gather / reduce-scatter around the partitioned matmuls) from the
+    parameter shardings — no manual collectives needed either way.
     """
     rep = replicated(mesh)
+    state_in = rep if state_sharding is None else state_sharding
 
     def _sharded(state, batch, rng):
         return train_step(state, batch, rng)
 
     return jax.jit(
         _sharded,
-        in_shardings=(rep, None, rep),   # batch sharding comes from device_put
-        out_shardings=(rep, rep),
+        in_shardings=(state_in, None, rep),  # batch sharding from device_put
+        out_shardings=(state_in, rep),
         donate_argnums=(0,) if donate_state else (),
     )
 
 
-def make_sharded_eval_step(eval_step, mesh: Mesh):
-    """jit the eval step over the mesh: params replicated, batch data-sharded
-    (sharding supplied by ``put_batch``), metrics replicated."""
+def make_sharded_eval_step(eval_step, mesh: Mesh, params_sharding=None):
+    """jit the eval step over the mesh: params replicated (or TP-sharded when
+    ``params_sharding`` is given), batch data-sharded (sharding supplied by
+    ``put_batch``), metrics replicated."""
     rep = replicated(mesh)
+    params_in = rep if params_sharding is None else params_sharding
 
     def _sharded(params, batch):
         return eval_step(params, batch)
 
-    return jax.jit(_sharded, in_shardings=(rep, None), out_shardings=rep)
+    return jax.jit(_sharded, in_shardings=(params_in, None), out_shardings=rep)

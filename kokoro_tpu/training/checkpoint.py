@@ -95,6 +95,8 @@ class CheckpointManager:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.keep = keep
         self._checkpointer = ocp.StandardCheckpointer()
+        # (path, metadata_doc) of async saves whose metadata.json is deferred
+        self._pending: list = []
 
     # ------------------------------------------------------------------
     def _path(self, name: str) -> Path:
@@ -107,20 +109,45 @@ class CheckpointManager:
         config: TrainingConfig,
         metadata: Dict[str, Any],
         counters: Optional[Dict[str, Any]] = None,
+        blocking: bool = True,
     ) -> Path:
-        """Save train state + metadata + config under ``output_dir/name``."""
+        """Save train state + metadata + config under ``output_dir/name``.
+
+        ``blocking=False`` (config.async_checkpointing): Orbax copies the
+        state to HOST memory synchronously (so donated device buffers are
+        safe to reuse immediately), then writes to disk on its background
+        thread while training continues.  ``metadata.json`` — the marker
+        ``find_latest_checkpoint`` requires — is deferred to
+        ``wait_for_pending()``, so an unfinalized save is invisible to
+        auto-resume and a crash mid-write falls back to the previous
+        checkpoint (the reference's torch.save has no such overlap;
+        checkpointing there blocks the epoch loop, reference trainer.py
+        save path §3.5)."""
+        # Serialize with any in-flight save before touching its directory.
+        self.wait_for_pending()
         path = self._path(name)
         if path.exists():
             shutil.rmtree(path)
         self._checkpointer.save(path.resolve() / "state", state)
-        self._checkpointer.wait_until_finished()
         doc = {
             "model_metadata": metadata,
             "config": config.to_dict(),
             "counters": counters or {},
         }
-        (path / "metadata.json").write_text(json.dumps(doc, indent=2))
+        self._pending.append((path, doc))
+        if blocking:
+            self.wait_for_pending()
         return path
+
+    def wait_for_pending(self) -> None:
+        """Block until in-flight async saves finalize, then write their
+        ``metadata.json`` markers (making them visible to auto-resume)."""
+        if not self._pending:
+            return
+        self._checkpointer.wait_until_finished()
+        for path, doc in self._pending:
+            (path / "metadata.json").write_text(json.dumps(doc, indent=2))
+        self._pending.clear()
 
     def save_epoch_checkpoint(self, epoch: int, *args, **kwargs) -> Path:
         path = self.save_checkpoint(
@@ -146,11 +173,17 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def find_latest_checkpoint(self) -> Optional[Path]:
-        """'auto' discovery: highest-epoch checkpoint (reference :898-914)."""
+        """'auto' discovery: highest-epoch checkpoint (reference :898-914).
+
+        Only FINALIZED checkpoints count: metadata.json is written after the
+        (possibly async) state write completes, so a directory without it is
+        a crashed/in-flight save and is skipped."""
         best_epoch, best = -1, None
         for p in self.output_dir.glob(f"{CHECKPOINT_PREFIX}*"):
             m = re.match(rf"{CHECKPOINT_PREFIX}(\d+)$", p.name)
-            if m and int(m.group(1)) > best_epoch:
+            if m and int(m.group(1)) > best_epoch and (
+                p / "metadata.json"
+            ).exists():
                 best_epoch, best = int(m.group(1)), p
         return best
 

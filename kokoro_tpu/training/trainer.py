@@ -41,11 +41,11 @@ from kokoro_tpu.parallel.mesh import (
     create_mesh,
     make_sharded_eval_step,
     make_sharded_train_step,
-    mesh_size,
     put_batch,
     replicated,
     round_up_to_multiple,
 )
+from kokoro_tpu.parallel import tp as tp_rules
 from kokoro_tpu.training.checkpoint import CheckpointManager, build_model_metadata
 from kokoro_tpu.training.optimizer import (
     build_optimizer,
@@ -177,23 +177,42 @@ class KokoroTrainer:
         )
         if cfg.mesh_shape is not None or want > 1:
             self.mesh = create_mesh(cfg)
-            self.dp_size = mesh_size(self.mesh)
+            self.dp_size = tp_rules.dp_size(self.mesh)
+            self.tp_size = tp_rules.tp_size(self.mesh)
         else:
             self.mesh = None
             self.dp_size = 1
+            self.tp_size = 1
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
-        if self.dp_size > 1:
+        if self.dp_size > 1 or self.tp_size > 1:
             logger.info(
-                "Data parallelism: %d-way mesh over %s devices (%d process%s)",
-                self.dp_size, jax.devices()[0].platform, self.process_count,
+                "Parallelism: %d-way data x %d-way tensor mesh over %s "
+                "devices (%d process%s)",
+                self.dp_size, self.tp_size, jax.devices()[0].platform,
+                self.process_count,
                 "es" if self.process_count > 1 else "",
             )
 
+    def _state_sharding(self, tree):
+        """NamedSharding pytree for a state tree: tensor-parallel rules when
+        the mesh has a 'model' axis, plain replication otherwise (None so the
+        DP-only jit signature stays byte-identical to round 2)."""
+        if self.mesh is not None and self.tp_size > 1:
+            return tp_rules.tree_shardings(tree, self.mesh)
+        return None
+
     def _replicate_state(self) -> None:
-        """Commit the train state to the mesh, fully replicated."""
-        if self.mesh is not None:
+        """Commit the train state to the mesh: fully replicated for pure DP,
+        parameter/moment/EMA leaves sharded per parallel/tp.py under dp x tp.
+        (Also the resume path — restored host arrays get re-placed here.)"""
+        if self.mesh is None:
+            return
+        sharding = self._state_sharding(self.state)
+        if sharding is None:
             self.state = jax.device_put(self.state, replicated(self.mesh))
+        else:
+            self.state = jax.device_put(self.state, sharding)
 
     # ------------------------------------------------------------------
     def _setup_datasets(self) -> None:
@@ -323,7 +342,10 @@ class KokoroTrainer:
         self._train_step_cache: Dict[Any, Any] = {}
         eval_fn = make_eval_step(self.model, cfg)
         if self.mesh is not None:
-            self.eval_step = make_sharded_eval_step(eval_fn, self.mesh)
+            self.eval_step = make_sharded_eval_step(
+                eval_fn, self.mesh,
+                params_sharding=self._state_sharding(self.state.params),
+            )
         else:
             self.eval_step = jax.jit(eval_fn)
         self._replicate_state()
@@ -382,7 +404,8 @@ class KokoroTrainer:
                     self.best_val_epoch = epoch
                     self.epochs_without_improvement = 0
                     self.ckpt.save_best(
-                        self.state, cfg, self.metadata, self._counters(epoch)
+                        self.state, cfg, self.metadata, self._counters(epoch),
+                        blocking=not cfg.async_checkpointing,
                     )
                     logger.info("New best val mel loss: %.4f", val_loss)
                 else:
@@ -395,14 +418,19 @@ class KokoroTrainer:
                     break
 
             if (epoch + 1) % cfg.save_every == 0:
+                # async: the disk write overlaps the next epoch's compute;
+                # save_checkpoint serializes with any still-pending save first
                 self.ckpt.save_epoch_checkpoint(
-                    epoch + 1, self.state, cfg, self.metadata, self._counters(epoch)
+                    epoch + 1, self.state, cfg, self.metadata,
+                    self._counters(epoch),
+                    blocking=not cfg.async_checkpointing,
                 )
             self._report_cache_stats()
 
         self.ckpt.save_final_model(
             self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
         )
+        self.ckpt.wait_for_pending()
         self.writer.flush()
         return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
 
@@ -426,7 +454,8 @@ class KokoroTrainer:
                 step = make_multi_step(step, scan_steps)
             if self.mesh is not None:
                 self._train_step_cache[key] = make_sharded_train_step(
-                    step, self.mesh, donate_state=cfg.donate_state
+                    step, self.mesh, donate_state=cfg.donate_state,
+                    state_sharding=self._state_sharding(self.state),
                 )
             else:
                 self._train_step_cache[key] = jax.jit(
