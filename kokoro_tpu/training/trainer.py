@@ -112,6 +112,7 @@ class KokoroTrainer:
         self.phoneme_processor = RussianPhonemeProcessor()
         self._setup_datasets()
         self._setup_model()
+        self._preflight_memory_check()
         self._setup_step_fns()
 
         self.best_val_loss = float("inf")
@@ -151,6 +152,38 @@ class KokoroTrainer:
             })
         except Exception as err:
             logger.debug("custom scalars layout failed: %s", err)
+
+    def _preflight_memory_check(self) -> None:
+        """Ahead-of-time HBM plan for the largest bucket shape (the TPU-native
+        replacement for the reference's reactive memory-pressure system,
+        utils/memory_planner.py): XLA allocates a compiled step statically,
+        so an over-budget shape is knowable BEFORE the first (minutes-long
+        remote) compile.  Advisory only — estimates never abort training."""
+        from kokoro_tpu.utils.memory_planner import (
+            estimate_train_step_hbm, live_hbm_bytes, DEFAULT_HBM_BYTES,
+        )
+
+        cfg = self.config
+        try:
+            mels = cfg.mel_bucket_sizes or (cfg.max_seq_length,)
+            phons = cfg.phoneme_bucket_sizes or (cfg.max_phoneme_length,)
+            per_device_batch = -(-cfg.batch_size // max(self.dp_size, 1))
+            est = estimate_train_step_hbm(
+                cfg, per_device_batch, mels[-1], phons[-1]
+            )
+            hbm = live_hbm_bytes() or DEFAULT_HBM_BYTES
+            if not est.fits(hbm, margin=0.95):
+                logger.warning(
+                    "Estimated train-step HBM exceeds the device budget "
+                    "(%.2f GiB estimated vs %.2f GiB available): %s — "
+                    "consider a smaller batch, gradient_checkpointing, or "
+                    "use_flash_attention (see kokoro-plan)",
+                    est.total_bytes / 1024**3, hbm / 1024**3, est.summary(),
+                )
+            else:
+                logger.info("HBM plan: %s", est.summary())
+        except Exception as err:  # planning must never block training
+            logger.debug("memory preflight skipped: %s", err)
 
     # ------------------------------------------------------------------
     def _setup_mesh(self) -> None:
