@@ -21,8 +21,19 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--no-mfa", action="store_true")
     g.add_argument("--mfa-alignment-dir", default=None)
     g.add_argument("--validation-split", type=float, default=None)
+    g.add_argument("--validation-interval", type=int, default=None,
+                   help="validate every N epochs (reference --validation-interval)")
+    g.add_argument("--no-validation", action="store_true",
+                   help="disable validation entirely (reference --no-validation)")
     g.add_argument("--no-dynamic-batching", action="store_true")
     g.add_argument("--max-frames-per-batch", type=int, default=None)
+    g.add_argument("--min-batch-size", type=int, default=None,
+                   help="dynamic-batching lower bound (reference --min-batch-size)")
+    g.add_argument("--max-batch-size", type=int, default=None,
+                   help="dynamic-batching upper bound (reference --max-batch-size)")
+    g.add_argument("--no-memory-cache", action="store_true",
+                   help="disable the in-RAM feature-cache tier; on-disk only "
+                   "(reference --no-memory-cache)")
     g.add_argument("--no-ema", action="store_true")
     g.add_argument("--no-spec-augment", action="store_true")
     g.add_argument("--no-speed-perturbation", action="store_true")
@@ -64,7 +75,10 @@ def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
         "seed": "seed",
         "mfa_alignment_dir": "mfa_alignment_dir",
         "validation_split": "validation_split",
+        "validation_interval": "validation_interval",
         "max_frames_per_batch": "max_frames_per_batch",
+        "min_batch_size": "min_batch_size",
+        "max_batch_size": "max_batch_size",
         "compute_dtype": "compute_dtype",
         "save_every": "save_every",
         "early_stopping_patience": "early_stopping_patience",
@@ -77,6 +91,11 @@ def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
         overrides["use_mfa"] = False
     if args.no_dynamic_batching:
         overrides["use_dynamic_batching"] = False
+    if getattr(args, "no_validation", False):
+        # the loop keeps running; validation epochs simply never trigger
+        overrides["validation_interval"] = 10**9
+    if getattr(args, "no_memory_cache", False):
+        overrides["use_memory_cache"] = False
     if args.no_ema:
         overrides["use_ema"] = False
     if args.no_spec_augment:

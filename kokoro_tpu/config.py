@@ -257,6 +257,15 @@ class TrainingConfig:
     # reference DataLoader's num_workers (reference trainer.py:322-327).
     # 0 = fully synchronous host loop (debug / deterministic profiling).
     host_prefetch_depth: int = 2
+    # Metric-drain cadence, in dispatched chunks: on-device metric structs
+    # queue up and one bulk device_get fetches them every N chunks.  Each
+    # drain is a blocking host round-trip that also waits out the queued
+    # compute, so epoch time ~= max(compute, drains x transport RTT) — on a
+    # tunneled transport with ~200 ms RTT, draining every 4 chunks serializes
+    # ~44 round-trips into a ~2 s epoch (measured 10-24 s).  Larger values
+    # decouple logging cadence from transport latency at the cost of queued
+    # host-batch references (~2.5 MB each) and later TensorBoard flushes.
+    metric_drain_chunks: int = 4
     # pallas flash attention, auto-gated to CAUSAL self-attention >= 1024
     # frames (measured 2.4x vs einsum at T=1280; einsum fuses better below).
     # The kernel cannot apply attention-WEIGHT dropout;
@@ -374,6 +383,9 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         carry_tail=True,
         batch_size_multiple=16,
         async_checkpointing=True,
+        # one-ish drain per epoch at bench scale; keeps e2e throughput
+        # latency-insensitive on tunneled/DCN transports
+        metric_drain_chunks=64,
     )
     base.update(overrides)
     return TrainingConfig(**base)

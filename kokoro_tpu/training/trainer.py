@@ -701,7 +701,7 @@ class KokoroTrainer:
             self._trace_steps_left -= scan_k
             if self._trace_steps_left <= 0:
                 self._stop_trace_if_active()
-        if len(self._metric_queue) >= 4:
+        if len(self._metric_queue) >= max(int(cfg.metric_drain_chunks), 1):
             self._drain_metrics()
 
     def _cast_transfer(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -182,6 +182,84 @@ def _make_corpus(root: Path) -> Path:
     return root
 
 
+class TestMetricDrainCadence:
+    """metric_drain_chunks decouples the TB-logging device_get round-trip
+    from the dispatch loop: each drain blocks on transport RTT, so the
+    cadence bounds how many round-trips an epoch pays (config.py notes)."""
+
+    def _dispatching_trainer(self, tmp_path, drain_chunks):
+        t = bare_trainer(tmp_path, metric_drain_chunks=drain_chunks)
+        t.state = None
+        t._get_train_step = lambda spec, k: (lambda s, b, r: (s, {"m": k}))
+        t.drains = []
+
+        def _fake_drain():  # mirrors the real drain's queue handoff
+            t.drains.append(len(t._metric_queue))
+            t._metric_queue = []
+
+        t._drain_metrics = _fake_drain
+        return t
+
+    def _dispatch(self, t, n):
+        hb = {"mel_specs": np.zeros((2, 8, 4), np.float32)}
+        for _ in range(n):
+            t._dispatch_chunk({}, hb, scan_k=2, spec_augment=False)
+
+    def test_drains_every_n_chunks(self, tmp_path):
+        t = self._dispatching_trainer(tmp_path, drain_chunks=3)
+        self._dispatch(t, 7)
+        assert t.drains == [3, 3]  # queue length at each drain call
+
+    def test_threshold_one_drains_every_chunk(self, tmp_path):
+        t = self._dispatching_trainer(tmp_path, drain_chunks=1)
+        self._dispatch(t, 4)
+        assert t.drains == [1, 1, 1, 1]
+
+    def test_high_threshold_defers_to_epoch_end(self, tmp_path):
+        t = self._dispatching_trainer(tmp_path, drain_chunks=10**9)
+        self._dispatch(t, 20)
+        assert t.drains == [] and len(t._metric_queue) == 20
+
+    def test_high_performance_preset_raises_cadence(self):
+        from kokoro_tpu.config import get_high_performance_config
+
+        assert get_high_performance_config().metric_drain_chunks >= 32
+
+    def test_drain_cadence_numerics_parity(self, tmp_path):
+        """Final params and epoch metrics are identical whether metrics drain
+        every chunk or only at epoch end — the queue holds fetch timing, not
+        anything the optimizer consumes."""
+        corpus = _make_corpus(tmp_path / "corpus")
+
+        def run(cadence, out):
+            cfg = get_smoke_test_config(
+                data_dir=str(corpus),
+                output_dir=str(tmp_path / out),
+                num_epochs=1,
+                batch_size=2,
+                validation_split=0.25,
+                use_speed_perturbation=False,
+                use_spec_augment=False,
+                compute_dtype="float32",
+                scan_steps=2,
+                metric_drain_chunks=cadence,
+            )
+            tr = KokoroTrainer(cfg)
+            metrics = tr.train_epoch(0)
+            tr._drain_metrics()
+            return metrics, tr.state.params
+
+        m_eager, p_eager = run(1, "eager")
+        m_lazy, p_lazy = run(10**6, "lazy")
+        assert m_eager.keys() == m_lazy.keys()
+        for k in m_eager:
+            assert m_eager[k] == pytest.approx(m_lazy[k], abs=1e-6), k
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_eager), jax.tree_util.tree_leaves(p_lazy)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 class TestPrefetchParity:
     def test_pipelined_matches_synchronous(self, tmp_path):
         """Identical final parameters and epoch metrics with the prefetch
