@@ -58,6 +58,14 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
         "data-parallel",
     )
     d.add_argument(
+        "--mesh-axes", default=None,
+        help="comma-separated mesh axis names matching --mesh-shape; "
+        "'data' = batch sharding, 'seq' = sequence parallelism over mel "
+        "frames, 'model' = tensor parallelism. Default: 'data' (plus "
+        "'model' for a 2-axis shape). Example: --mesh-shape 2,2,2 "
+        "--mesh-axes data,seq,model",
+    )
+    d.add_argument(
         "--distributed", action="store_true",
         help="multi-host training: call jax.distributed.initialize() and feed "
         "each process its shard of the global batch",
@@ -111,6 +119,10 @@ def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
     if getattr(args, "mesh_shape", None):
         overrides["mesh_shape"] = tuple(
             int(x) for x in str(args.mesh_shape).split(",") if x.strip()
+        )
+    if getattr(args, "mesh_axes", None):
+        overrides["mesh_axis_names"] = tuple(
+            x.strip() for x in str(args.mesh_axes).split(",") if x.strip()
         )
     if getattr(args, "distributed", False):
         overrides["distributed_init"] = True

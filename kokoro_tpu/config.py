@@ -304,19 +304,41 @@ class TrainingConfig:
         self.mesh_axis_names = tuple(self.mesh_axis_names)
         if self.mesh_shape is not None:
             self.mesh_shape = tuple(self.mesh_shape)
-            if len(self.mesh_shape) > 2:
+            if len(self.mesh_shape) > 3:
                 raise ValueError(
-                    "mesh_shape supports at most 2 axes (data, model); "
+                    "mesh_shape supports at most 3 axes (data, seq, model); "
                     f"got {self.mesh_shape}"
                 )
-        bad_axes = set(self.mesh_axis_names) - {"data", "model"}
+            if (len(self.mesh_shape) == 3
+                    and len(self.mesh_axis_names) < 3):
+                raise ValueError(
+                    "a 3-axis mesh_shape needs explicit mesh_axis_names "
+                    "(e.g. ('data', 'seq', 'model')); only a 2-axis shape "
+                    "defaults its second axis to 'model'"
+                )
+        bad_axes = set(self.mesh_axis_names) - {"data", "seq", "model"}
         if bad_axes:
             raise ValueError(
                 f"unknown mesh axis names {sorted(bad_axes)}; "
-                "supported: 'data' (batch) and 'model' (tensor parallel)"
+                "supported: 'data' (batch), 'seq' (sequence parallel over "
+                "mel frames), 'model' (tensor parallel)"
             )
         if self.mel_bucket_sizes and self.mel_bucket_sizes[-1] < self.max_seq_length:
             self.mel_bucket_sizes = self.mel_bucket_sizes + (self.max_seq_length,)
+        if (self.mesh_shape is not None
+                and "seq" in self.mesh_axis_names
+                and self.mesh_axis_names.index("seq") < len(self.mesh_shape)):
+            sp = self.mesh_shape[self.mesh_axis_names.index("seq")]
+            bad_buckets = [
+                t for t in (self.mel_bucket_sizes or (self.max_seq_length,))
+                if t % sp
+            ]
+            if sp > 1 and bad_buckets:
+                raise ValueError(
+                    f"sequence parallelism ({sp}-way 'seq' axis) needs every "
+                    f"mel bucket size divisible by {sp}; offending buckets: "
+                    f"{bad_buckets}"
+                )
 
     # ------------------------------------------------------------------
     # Serialization (checkpoints embed the config; reference trainer.py:2011)

@@ -6,7 +6,11 @@ preserve are the reference's single-device ones: global batch = sum of
 per-device batches, identical loss masking, EMA/scheduler counters advance per
 optimizer step on GLOBAL quantities.  Tensor parallelism (parallel/tp.py) adds
 a 'model' mesh axis with Megatron-style parameter shardings, preserving the
-same single-device numerics.
+same single-device numerics.  Sequence parallelism adds a 'seq' mesh axis that
+shards the mel-FRAME dimension of the batch (mesh.py:_TIME_AXIS_OFFSET) —
+XLA's SPMD partitioner splits the decoder's frame-axis compute across chips
+and inserts the K/V all-gathers for attention itself; all three axes compose
+on one mesh (e.g. ('data', 'seq', 'model') = dp x sp x tp).
 """
 
 from kokoro_tpu.parallel.tp import (
@@ -26,6 +30,7 @@ from kokoro_tpu.parallel.mesh import (
     process_local_rows,
     put_batch,
     round_up_to_multiple,
+    seq_size,
     shard_batch,
 )
 
@@ -39,6 +44,7 @@ __all__ = [
     "process_local_rows",
     "put_batch",
     "round_up_to_multiple",
+    "seq_size",
     "shard_batch",
     "dp_size",
     "leaf_pspec",

@@ -50,8 +50,31 @@ _TRAILING_DIMS: Dict[str, int] = {
     "phoneme_lengths": 0,
 }
 
+# Batch keys carrying a mel-FRAME (time) axis, with its offset from the batch
+# axis.  Under sequence parallelism (a 'seq' mesh axis, see seq_size) these
+# axes shard over 'seq'; phoneme-axis arrays stay replicated along their L
+# axis — the encoder at L <= 192 is compute-trivial, the decoder frames
+# dominate (SURVEY.md §5.7: the 1800-frame decoder attention is the only
+# long-sequence surface).
+_TIME_AXIS_OFFSET: Dict[str, int] = {
+    "mel_specs": 1,          # (..., B, T, n_mels): T is batch_axis + 1
+    "pitch_targets": 1,
+    "energy_targets": 1,
+    "stop_token_targets": 1,
+}
+
 
 _DEFAULT_AXIS_NAMES = ("data", "model")
+
+
+SEQ_AXIS = "seq"
+
+
+def seq_size(mesh: Optional[Mesh]) -> int:
+    """Size of the ``seq`` (sequence-parallel) axis; 1 when absent."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(SEQ_AXIS, 1))
 
 
 def create_mesh(
@@ -85,10 +108,23 @@ def batch_axis_index(key: str, ndim: int) -> int:
     return max(ndim - 1 - trailing, 0)
 
 
-def batch_pspec(key: str, ndim: int, axis_name: str = "data") -> P:
-    """PartitionSpec sharding the batch axis, replicating everything else."""
+def batch_pspec(
+    key: str, ndim: int, axis_name: str = "data",
+    seq_axis: Optional[str] = None,
+) -> P:
+    """PartitionSpec sharding the batch axis (and, when ``seq_axis`` is given,
+    the mel-frame axis of time-bearing keys), replicating everything else."""
     b = batch_axis_index(key, ndim)
-    return P(*([None] * b), axis_name)
+    spec = [None] * b + [axis_name]
+    t_off = _TIME_AXIS_OFFSET.get(key)
+    if seq_axis is not None and t_off is not None and b + t_off < ndim:
+        spec += [None] * (t_off - 1) + [seq_axis]
+    return P(*spec)
+
+
+def _mesh_seq_axis(mesh: Mesh) -> Optional[str]:
+    """'seq' iff the mesh carries a sequence-parallel axis of size > 1."""
+    return SEQ_AXIS if int(mesh.shape.get(SEQ_AXIS, 1)) > 1 else None
 
 
 def batch_sharding(mesh: Mesh, has_accum_axis: bool = False) -> NamedSharding:
@@ -104,10 +140,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along the batch dimension."""
+    """Place a host batch onto the mesh: batch dim on 'data', mel-frame dim on
+    'seq' when the mesh has a sequence-parallel axis."""
+    seq = _mesh_seq_axis(mesh)
     return {
         k: jax.device_put(
-            v, NamedSharding(mesh, batch_pspec(k, np.ndim(v)))
+            v, NamedSharding(mesh, batch_pspec(k, np.ndim(v), seq_axis=seq))
         )
         for k, v in batch.items()
     }
@@ -136,11 +174,16 @@ def global_batch_from_local(
     """Multi-host batch placement: each process holds only its row block of
     the global batch; assemble the sharded global arrays across DCN."""
     count = jax.process_count()
+    # Sequence parallelism composes with multi-host because the mesh is laid
+    # out from jax.devices() order (process-major) with 'data' leading: each
+    # process's full-T local rows exactly cover its own devices' (data, seq)
+    # shards, which is what make_array_from_process_local_data slices up.
+    seq = _mesh_seq_axis(mesh)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         axis = batch_axis_index(k, v.ndim)
-        sharding = NamedSharding(mesh, batch_pspec(k, v.ndim))
+        sharding = NamedSharding(mesh, batch_pspec(k, v.ndim, seq_axis=seq))
         global_shape = list(v.shape)
         global_shape[axis] = v.shape[axis] * count
         out[k] = jax.make_array_from_process_local_data(

@@ -44,6 +44,7 @@ from kokoro_tpu.parallel.mesh import (
     put_batch,
     replicated,
     round_up_to_multiple,
+    seq_size as mesh_seq_size,
 )
 from kokoro_tpu.parallel import tp as tp_rules
 from kokoro_tpu.training.checkpoint import CheckpointManager, build_model_metadata
@@ -212,17 +213,20 @@ class KokoroTrainer:
             self.mesh = create_mesh(cfg)
             self.dp_size = tp_rules.dp_size(self.mesh)
             self.tp_size = tp_rules.tp_size(self.mesh)
+            self.sp_size = mesh_seq_size(self.mesh)
         else:
             self.mesh = None
             self.dp_size = 1
             self.tp_size = 1
+            self.sp_size = 1
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
-        if self.dp_size > 1 or self.tp_size > 1:
+        if self.dp_size > 1 or self.tp_size > 1 or self.sp_size > 1:
             logger.info(
-                "Parallelism: %d-way data x %d-way tensor mesh over %s "
-                "devices (%d process%s)",
-                self.dp_size, self.tp_size, jax.devices()[0].platform,
+                "Parallelism: %d-way data x %d-way seq x %d-way tensor mesh "
+                "over %s devices (%d process%s)",
+                self.dp_size, self.sp_size, self.tp_size,
+                jax.devices()[0].platform,
                 self.process_count,
                 "es" if self.process_count > 1 else "",
             )
@@ -306,6 +310,17 @@ class KokoroTrainer:
         import jax.numpy as jnp
 
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+        # Sequence parallelism shards the frame axis via GSPMD, which cannot
+        # partition a pallas custom call — the flash kernel would force a
+        # full-T all-gather at every attention site.  The einsum path
+        # partitions cleanly (per-shard logits + K/V all-gather), so flash is
+        # disabled under a 'seq' axis.
+        use_flash = cfg.use_flash_attention and getattr(self, "sp_size", 1) <= 1
+        if cfg.use_flash_attention and not use_flash:
+            logger.info(
+                "use_flash_attention disabled: %d-way sequence parallelism "
+                "partitions attention via SPMD einsum instead", self.sp_size,
+            )
         self.model = KokoroModel(
             vocab_size=self.phoneme_processor.get_vocab_size(),
             n_mels=cfg.n_mels,
@@ -333,7 +348,7 @@ class KokoroTrainer:
             length_regulator_stop_gradient=cfg.length_regulator_stop_gradient,
             gradient_checkpointing=cfg.gradient_checkpointing,
             checkpoint_segments=cfg.checkpoint_segments,
-            use_flash_attention=cfg.use_flash_attention,
+            use_flash_attention=use_flash,
             attention_weight_dropout=cfg.attention_weight_dropout,
             use_spec_augment=cfg.use_spec_augment,
             spec_augment_time_mask_max=cfg.spec_augment_time_mask_max,

@@ -113,8 +113,10 @@ class TestConfigValidation:
                 mesh_shape=(2, 4), mesh_axis_names=("data", "expert")
             )
 
-    def test_rejects_3d_mesh(self):
-        with pytest.raises(ValueError, match="at most 2 axes"):
+    def test_rejects_3d_mesh_without_names(self):
+        # 3-axis meshes exist now (data, seq, model — test_sequence_parallel)
+        # but demand explicit axis names
+        with pytest.raises(ValueError, match="explicit mesh_axis_names"):
             get_smoke_test_config(mesh_shape=(2, 2, 2))
 
     def test_accepts_data_model(self):
