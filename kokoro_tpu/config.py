@@ -257,6 +257,15 @@ class TrainingConfig:
     # reference DataLoader's num_workers (reference trainer.py:322-327).
     # 0 = fully synchronous host loop (debug / deterministic profiling).
     host_prefetch_depth: int = 2
+    # Transfer-stage concurrency inside the prefetch pipeline: the bf16 cast
+    # + device_put of up to N chunks run on a thread pool (batch ASSEMBLY
+    # stays on one feeder thread — the packer RNG and yield order are
+    # serial), with results consumed strictly in submission order.  Each
+    # device_put over a tunneled transport pays a ~30 ms round-trip plus the
+    # copy at link bandwidth; overlapping puts measured 2.5x the sequential
+    # transfer throughput on the degraded tunnel (42 vs 17 MB/s, 4 threads).
+    # 1 = the single-worker pipeline (put latency serializes per chunk).
+    host_prefetch_workers: int = 1
     # Metric-drain cadence, in dispatched chunks: on-device metric structs
     # queue up and one bulk device_get fetches them every N chunks.  Each
     # drain is a blocking host round-trip that also waits out the queued
@@ -408,6 +417,8 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         # one-ish drain per epoch at bench scale; keeps e2e throughput
         # latency-insensitive on tunneled/DCN transports
         metric_drain_chunks=64,
+        # overlap per-chunk device_put round-trips (see field docs)
+        host_prefetch_workers=4,
     )
     base.update(overrides)
     return TrainingConfig(**base)

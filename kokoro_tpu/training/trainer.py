@@ -620,18 +620,34 @@ class KokoroTrainer:
         yield from drain_pending()
 
     def _prefetch_to_device(self, stream, depth: int):
-        """Stage ``(device_batch, host_batch, chunk_k)`` from a worker thread.
+        """Stage ``(device_batch, host_batch, chunk_k)`` ahead of dispatch.
 
-        The worker runs the full host producer (assembly, bf16 transfer cast,
-        device_put) and parks results in a bounded queue, so chunk N+1's host
-        work and transfer overlap chunk N's device compute.  depth=2 double-
-        buffers; the queue bound caps staged host memory.  Worker exceptions
-        re-raise in the consumer; a consumer abort (exception mid-epoch)
-        stops the worker via the stop flag."""
+        Two pipeline stages behind a bounded queue:
+
+        - a single FEEDER thread runs the host producer (``_chunk_stream``:
+          accumulation grouping, assembly, scan stacking) — serial, so the
+          packer RNG stream and yield order are exactly the synchronous
+          loop's;
+        - a pool of ``host_prefetch_workers`` TRANSFER threads runs the bf16
+          cast + ``device_put`` of each chunk.  Results are consumed strictly
+          in submission order (the queue carries futures), so dispatch order
+          is unchanged; only the put round-trips overlap.  On a tunneled
+          transport each put pays ~30 ms RTT + copy-at-link-bandwidth, and
+          overlapped puts measured 2.5x the sequential transfer throughput —
+          with one worker the put latency serializes per chunk and bounds the
+          whole epoch (54 chunks x ~100 ms host stage >> 1.7 s device
+          compute).
+
+        ``depth`` bounds chunks staged beyond the in-flight puts (host+device
+        memory cap).  Worker/feeder exceptions re-raise in the consumer; a
+        consumer abort (exception mid-epoch) stops the feeder via the stop
+        flag and drains the pool."""
         import queue as queue_mod
         import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+        workers = max(1, int(getattr(self.config, "host_prefetch_workers", 1)))
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth + workers - 1)
         stop = threading.Event()
         done = object()
         failure: List[BaseException] = []
@@ -645,13 +661,22 @@ class KokoroTrainer:
                     continue
             return False
 
-        def worker() -> None:
+        def put_one(host_batch, chunk_k):
+            dev = put_batch(
+                self._cast_transfer(host_batch), self.mesh, always=True
+            )
+            return dev, host_batch, chunk_k
+
+        pool = ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="kokoro-host-put"
+        )
+
+        def feeder() -> None:
             try:
                 for host_batch, chunk_k in stream:
-                    dev = put_batch(
-                        self._cast_transfer(host_batch), self.mesh, always=True
-                    )
-                    if not offer((dev, host_batch, chunk_k)):
+                    # bounded by q: at most depth+workers-1 futures queued,
+                    # of which <= workers are executing puts concurrently
+                    if not offer(pool.submit(put_one, host_batch, chunk_k)):
                         return
             except BaseException as err:  # re-raised on the consumer side
                 failure.append(err)
@@ -659,7 +684,7 @@ class KokoroTrainer:
                 offer(done)
 
         t = threading.Thread(
-            target=worker, name="kokoro-host-prefetch", daemon=True
+            target=feeder, name="kokoro-host-prefetch", daemon=True
         )
         t.start()
         try:
@@ -667,12 +692,13 @@ class KokoroTrainer:
                 item = q.get()
                 if item is done:
                     break
-                yield item
+                yield item.result()  # in-order consumption; re-raises put errors
             if failure:
                 raise failure[0]
         finally:
             stop.set()
             t.join(timeout=10.0)
+            pool.shutdown(wait=False)
 
     def _dispatch_chunk(
         self,

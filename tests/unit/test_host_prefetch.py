@@ -166,6 +166,63 @@ class TestPrefetchToDevice:
         assert len(produced) <= 4
         gen.close()
 
+    def test_multiworker_preserves_order(self, tmp_path):
+        """With a transfer pool (host_prefetch_workers > 1) puts overlap but
+        chunks are consumed strictly in submission order."""
+        t = bare_trainer(tmp_path, host_prefetch_workers=4)
+        stream = (
+            ({"x": np.full((2,), i, np.float32)}, 1 + (i % 3))
+            for i in range(20)
+        )
+        got = list(t._prefetch_to_device(stream, depth=2))
+        assert [int(h["x"][0]) for _, h, _ in got] == list(range(20))
+        assert [k for _, _, k in got] == [1 + (i % 3) for i in range(20)]
+        for dev, _, _ in got:
+            assert isinstance(dev["x"], jax.Array)
+
+    def test_multiworker_put_exception_propagates(self, tmp_path):
+        """A failure inside the cast+put stage (pool thread) re-raises at the
+        consumer, not silently on a daemon thread."""
+        t = bare_trainer(tmp_path, host_prefetch_workers=3)
+        calls = []
+        orig = t._cast_transfer
+
+        def flaky(batch):
+            calls.append(1)
+            if len(calls) == 3:
+                raise RuntimeError("transfer cast exploded")
+            return orig(batch)
+
+        t._cast_transfer = flaky
+        stream = (
+            ({"x": np.full((2,), i, np.float32)}, 1) for i in range(10)
+        )
+        with pytest.raises(RuntimeError, match="transfer cast exploded"):
+            list(t._prefetch_to_device(stream, depth=2))
+
+    def test_multiworker_bound_includes_pool(self, tmp_path):
+        """The staging bound grows with the pool: depth + workers - 1 queued
+        futures, plus the feeder's in-hand item and the consumed one."""
+        t = bare_trainer(tmp_path, host_prefetch_workers=3)
+        produced = []
+
+        def counting():
+            for i in range(50):
+                produced.append(i)
+                yield {"x": np.full((2,), i, np.float32)}, 1
+
+        gen = t._prefetch_to_device(counting(), depth=2)
+        next(gen)
+        time.sleep(0.5)
+        # 1 consumed + (depth + workers - 1 = 4) queued + 1 in the feeder
+        assert len(produced) <= 6
+        gen.close()
+
+    def test_high_performance_preset_pools_transfers(self):
+        from kokoro_tpu.config import get_high_performance_config
+
+        assert get_high_performance_config().host_prefetch_workers >= 2
+
 
 def _make_corpus(root: Path) -> Path:
     wavs = root / "wavs"
@@ -292,5 +349,40 @@ class TestPrefetchParity:
             assert m_sync[k] == pytest.approx(m_pipe[k], abs=1e-6), k
         for a, b in zip(
             jax.tree_util.tree_leaves(p_sync), jax.tree_util.tree_leaves(p_pipe)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_transfer_pool_matches_synchronous(self, tmp_path):
+        """host_prefetch_workers=4 (overlapped puts) reproduces the depth-0
+        synchronous loop exactly: the pool reorders transfer completion, not
+        dispatch order or numerics."""
+        corpus = _make_corpus(tmp_path / "corpus")
+
+        def run(depth, workers, out):
+            cfg = get_smoke_test_config(
+                data_dir=str(corpus),
+                output_dir=str(tmp_path / out),
+                num_epochs=1,
+                batch_size=2,
+                validation_split=0.25,
+                use_speed_perturbation=False,
+                use_spec_augment=False,
+                compute_dtype="float32",
+                scan_steps=2,
+                host_prefetch_depth=depth,
+                host_prefetch_workers=workers,
+            )
+            tr = KokoroTrainer(cfg)
+            metrics = tr.train_epoch(0)
+            tr._drain_metrics()
+            return metrics, tr.state.params
+
+        m_sync, p_sync = run(0, 1, "sync_w")
+        m_pool, p_pool = run(2, 4, "pool_w")
+        assert m_sync.keys() == m_pool.keys()
+        for k in m_sync:
+            assert m_sync[k] == pytest.approx(m_pool[k], abs=1e-6), k
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_sync), jax.tree_util.tree_leaves(p_pool)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
