@@ -321,7 +321,11 @@ def main() -> None:
 
     gc.collect()
 
-    budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "900"))
+    # Default sized for a DEGRADED tunnel with a warm compile cache: the six
+    # e2e programs' executable loads alone measured ~980 s when the link's
+    # copy bandwidth dropped to ~20 MB/s (normal: 115-180 s).  A late JSON
+    # line beats "end_to_end": 0.
+    budget_s = int(os.environ.get("KOKORO_BENCH_E2E_BUDGET_S", "2700"))
 
     def _on_alarm(signum, frame):
         raise E2ETimeout(f"e2e phase exceeded {budget_s}s budget")

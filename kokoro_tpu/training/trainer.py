@@ -958,6 +958,12 @@ class KokoroTrainer:
             if cfg.use_speed_perturbation:
                 # perturbation can lengthen audio by up to 1/(1-range)
                 forced_T = int(forced_T / max(1.0 - cfg.speed_perturb_range, 0.5)) + 2
+            # under sequence parallelism the frame axis shards over 'seq':
+            # the forced pad must keep T divisible (max_seq_length already is,
+            # config-validated via the bucket ladder)
+            sp = mesh_seq_size(self.mesh)
+            if sp > 1:
+                forced_T = round_up_to_multiple(forced_T, sp)
             forced_T = min(forced_T, cfg.max_seq_length)
             local_B = out_B // self.process_count
             lo = self.process_index * local_B
@@ -1039,7 +1045,11 @@ class KokoroTrainer:
             forced_T = forced_L = None
             if self.process_count > 1:
                 est = [self.val_dataset.lengths(i) for i in indices]
-                forced_T = min(max(t for t, _ in est), cfg.max_seq_length)
+                forced_T = max(t for t, _ in est)
+                sp = mesh_seq_size(self.mesh)
+                if sp > 1:  # keep the sharded frame axis divisible
+                    forced_T = round_up_to_multiple(forced_T, sp)
+                forced_T = min(forced_T, cfg.max_seq_length)
                 forced_L = max(l for _, l in est)
                 local_B = val_B // self.process_count
                 lo = self.process_index * local_B

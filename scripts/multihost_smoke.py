@@ -11,7 +11,13 @@ Exercises the code only a multi-process run can reach (SURVEY.md §5.8):
 * ``jax.make_array_from_process_local_data`` global-batch assembly
   (parallel/mesh.py::global_batch_from_local),
 * sharded train + eval steps over the 8-device global mesh,
-* Orbax multi-host checkpoint save.
+* Orbax multi-host checkpoint save,
+* phase 2: the same trainer over a (4, 2) ``(data, seq)`` mesh — sequence
+  parallelism across hosts: each process's full-T row block covers its own
+  devices' (data, seq) shards because the mesh is laid out process-major
+  with 'data' leading (parallel/mesh.py::global_batch_from_local), so
+  make_array_from_process_local_data slices frames across the SAME host's
+  devices while rows split across hosts.
 
 Run:  python scripts/multihost_smoke.py          # spawns both workers
       (or with --worker N internally, used by the spawner)
@@ -78,35 +84,51 @@ def worker(process_id: int, tmp: Path) -> int:
     from kokoro_tpu.config import get_smoke_test_config
     from kokoro_tpu.training.trainer import KokoroTrainer
 
-    cfg = get_smoke_test_config(
-        data_dir=str(tmp / "corpus"),
-        output_dir=str(tmp / f"out"),
-        num_epochs=1,
-        batch_size=8,
-        validation_split=0.25,
-        use_speed_perturbation=False,
-        use_spec_augment=False,
-        compute_dtype="float32",
-        scan_steps=1,
-        log_every_steps=1,
-        # distributed_init=False: we initialized above with explicit
-        # coordinator args (the config flag covers the TPU-pod case where
-        # initialize() needs no arguments)
-    )
-    trainer = KokoroTrainer(cfg)
-    assert trainer.process_count == N_PROC, trainer.process_count
-    assert trainer.dp_size == N_PROC * DEVICES_PER_PROC
-    result = trainer.train()
-    assert np.isfinite(result["best_val_loss"]), result
-    # cross-process agreement: replicated params must be identical
-    digest = float(
-        sum(
-            np.sum(np.abs(np.asarray(jax.device_get(leaf))))
-            for leaf in jax.tree_util.tree_leaves(trainer.state.params)
+    def run_phase(name: str, **mesh_kw):
+        cfg = get_smoke_test_config(
+            data_dir=str(tmp / "corpus"),
+            output_dir=str(tmp / f"out_{name}"),
+            num_epochs=1,
+            batch_size=8,
+            validation_split=0.25,
+            use_speed_perturbation=False,
+            use_spec_augment=False,
+            compute_dtype="float32",
+            scan_steps=1,
+            log_every_steps=1,
+            # distributed_init=False: we initialized above with explicit
+            # coordinator args (the config flag covers the TPU-pod case where
+            # initialize() needs no arguments)
+            **mesh_kw,
         )
+        trainer = KokoroTrainer(cfg)
+        assert trainer.process_count == N_PROC, trainer.process_count
+        result = trainer.train()
+        assert np.isfinite(result["best_val_loss"]), result
+        # cross-process agreement: replicated params must be identical
+        digest = float(
+            sum(
+                np.sum(np.abs(np.asarray(jax.device_get(leaf))))
+                for leaf in jax.tree_util.tree_leaves(trainer.state.params)
+            )
+        )
+        return trainer, result, digest
+
+    # Phase 1: pure DP over all 8 global devices
+    trainer, result, digest = run_phase("dp")
+    assert trainer.dp_size == N_PROC * DEVICES_PER_PROC
+
+    # Phase 2: dp4 x sp2 — frames shard over 'seq' WITHIN each host's
+    # devices, rows over 'data' ACROSS hosts
+    sp_trainer, sp_result, sp_digest = run_phase(
+        "sp", mesh_shape=(4, 2), mesh_axis_names=("data", "seq")
     )
+    assert (sp_trainer.dp_size, sp_trainer.sp_size) == (4, 2)
+
     print(f"WORKER {process_id} OK best_val={result['best_val_loss']:.4f} "
-          f"param_digest={digest:.6f}", flush=True)
+          f"param_digest={digest:.6f} "
+          f"sp_best_val={sp_result['best_val_loss']:.4f} "
+          f"sp_param_digest={sp_digest:.6f}", flush=True)
     return 0
 
 
@@ -136,7 +158,7 @@ def main() -> int:
     code = 0
     for i, pr in enumerate(procs):
         try:
-            out, _ = pr.communicate(timeout=1200)
+            out, _ = pr.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             pr.kill()
             out, _ = pr.communicate()
@@ -145,10 +167,12 @@ def main() -> int:
         if pr.returncode != 0:
             code = 1
     digests = []
+    sp_digests = []
     for i, out in enumerate(outs):
         for line in out.splitlines():
             if line.startswith(f"WORKER {i} OK"):
-                digests.append(line.split("param_digest=")[1])
+                digests.append(line.split("param_digest=")[1].split()[0])
+                sp_digests.append(line.split("sp_param_digest=")[1].split()[0])
                 print(line)
     if len(digests) != N_PROC:
         print("FAIL: not all workers reported success")
@@ -159,8 +183,12 @@ def main() -> int:
     if len(set(digests)) != 1:
         print(f"FAIL: parameter digests differ across processes: {digests}")
         return 1
+    if len(set(sp_digests)) != 1:
+        print(f"FAIL: dp x sp parameter digests differ across processes: "
+              f"{sp_digests}")
+        return 1
     print(f"MULTIHOST SMOKE OK: {N_PROC} processes x {DEVICES_PER_PROC} devices, "
-          f"identical replicated params")
+          f"identical replicated params (DP and dp4 x sp2 phases)")
     return 0 if code == 0 else 1
 
 
