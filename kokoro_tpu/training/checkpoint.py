@@ -226,8 +226,41 @@ class CheckpointManager:
                     "Scheduler config drift at resume (reference :739-771 "
                     "semantics — resuming under CURRENT config): %s", drift
                 )
-        state = self._checkpointer.restore(path.resolve() / "state", target=target)
+        state = self._restore_portable(path.resolve() / "state", target)
         return state, doc
+
+    def _restore_portable(self, state_dir: Path, target):
+        """Restore a state pytree, surviving topology changes.
+
+        With ``target=None`` Orbax reconstructs each array with its SAVED
+        sharding; a checkpoint written on a multi-chip/multi-host mesh then
+        refuses to restore on different devices ("available devices are
+        different from the devices used to save") — breaking the core
+        production path of train-on-a-pod, serve-on-one-chip.  On that
+        failure, rebuild the target from the checkpoint's shape/dtype
+        metadata with every leaf placed on the current default device
+        (serving loads are single-host; the trainer re-shards after restore
+        via its own ``_replicate_state``)."""
+        try:
+            return self._checkpointer.restore(state_dir, target=target)
+        except ValueError as err:
+            if "devices" not in str(err):
+                raise
+            import jax
+
+            logger.info(
+                "Checkpoint saved under a different device topology; "
+                "restoring to the current default device (%s)", err
+            )
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            meta = self._checkpointer.metadata(state_dir).item_metadata
+
+            def as_struct(m):
+                return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+
+            return self._checkpointer.restore(
+                state_dir, target=jax.tree_util.tree_map(as_struct, meta)
+            )
 
     def resume_from_checkpoint(
         self, resume: str, target, expected_metadata: Optional[Dict] = None

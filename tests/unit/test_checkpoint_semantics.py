@@ -5,6 +5,7 @@ best-val tracking separates from train loss, auto-discovery picks the highest
 epoch, pruning keeps the newest K, RNG stream position survives resume."""
 
 import json
+import os
 from pathlib import Path
 
 import jax
@@ -205,3 +206,52 @@ class TestRngStreamResume:
         base = jax.random.PRNGKey(43)
         keys = [tuple(np.asarray(jax.random.fold_in(base, i))) for i in range(10)]
         assert len(set(keys)) == 10
+
+
+class TestCrossTopologyRestore:
+    """A checkpoint saved under a multi-device mesh must restore on a
+    different topology (train-on-a-pod, serve-on-one-chip — the inference
+    loaders restore with target=None, which Orbax otherwise rebinds to the
+    SAVED device mesh)."""
+
+    def test_mesh_saved_checkpoint_restores_with_one_device(
+        self, tmp_path, tiny_state
+    ):
+        import subprocess
+        import sys
+        import textwrap
+
+        from kokoro_tpu.parallel.mesh import create_mesh, replicated
+
+        mesh = create_mesh(devices=jax.devices())  # 8-device data mesh
+        state = jax.device_put(tiny_state, replicated(mesh))
+        mgr = CheckpointManager(tmp_path, keep=3)
+        mgr.save_checkpoint(
+            "checkpoint_epoch_1", state, get_smoke_test_config(), _meta(), {}
+        )
+        script = textwrap.dedent(f"""
+            import os
+            os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+            import sys; sys.path.insert(0, {repr(str(Path.cwd()))})
+            import jax; jax.config.update("jax_platforms", "cpu")
+            assert jax.device_count() == 1
+            from kokoro_tpu.training.checkpoint import CheckpointManager
+            mgr = CheckpointManager({repr(str(tmp_path))})
+            state, doc = mgr.load_checkpoint(
+                {repr(str(tmp_path))} + "/checkpoint_epoch_1", target=None
+            )
+            import numpy as np
+            w = np.asarray(state["params"]["params"]["w"])
+            assert w.shape == (4,), w.shape
+            np.testing.assert_array_equal(w, np.arange(4.0))
+            assert int(np.asarray(state["opt_step"])) == 123
+            print("CROSS-TOPOLOGY RESTORE OK")
+        """)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "CROSS-TOPOLOGY RESTORE OK" in proc.stdout
