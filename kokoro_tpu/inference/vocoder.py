@@ -123,6 +123,33 @@ class VocoderManager:
         )
         return np.asarray(wav)
 
+    def mel_to_audio_batch(self, log_mels: jnp.ndarray) -> np.ndarray:
+        """(B, T, n_mels) log-mels -> (B, samples) waveforms in ONE call.
+
+        The serving path's vocoder: a dispatch group's rows (padded to a
+        common T) vocode together — HiFi-GAN is natively batched; Griffin-Lim
+        vmaps its phase-recovery loop.  One compiled program per (B, T)."""
+        if self.vocoder_type == "hifigan" and self.hifigan_params is not None:
+            return np.asarray(
+                self._hifigan_apply(self.hifigan_params, log_mels)
+            )
+        if not hasattr(self, "_gl_batch"):
+            from functools import partial
+
+            self._gl_batch = jax.jit(jax.vmap(partial(
+                griffin_lim,
+                n_fft=self.audio["n_fft"],
+                hop_length=self.audio["hop_length"],
+                win_length=self.audio["win_length"],
+                n_iter=self.griffin_lim_iters,
+                from_log_mel=True,
+                sample_rate=self.sample_rate,
+                n_mels=self.audio["n_mels"],
+                f_min=self.audio["f_min"],
+                f_max=self.audio["f_max"],
+            )))
+        return np.asarray(self._gl_batch(jnp.asarray(log_mels)))
+
 
 def export_hifigan_npz(params: dict, path: str | Path) -> None:
     """Flatten converted flax params to an .npz for torch-free loading."""

@@ -229,8 +229,16 @@ class KokoroPipeline:
 
     MULTI = "multi"
 
-    def __init__(self, tts) -> None:
+    def __init__(self, tts, pad_group_sizes: bool = True) -> None:
         self.tts = tts
+        # Pad decode groups to power-of-two row counts (repeating the first
+        # row; extras dropped from the results).  Every distinct
+        # (bucket, rows) pair is a fresh XLA decode compile — minutes on a
+        # remote-compile transport — so a server under variable load would
+        # otherwise compile once per group size it ever sees.  Power-of-two
+        # padding caps that at log2(max_batch_size)+1 programs per bucket,
+        # for at most 2x masked decode rows.
+        self.pad_group_sizes = pad_group_sizes
 
     def encode(self, text: str) -> Optional[Tuple[Hashable, Any]]:
         chunks = self.tts.split_text(text)
@@ -248,6 +256,10 @@ class KokoroPipeline:
 
         if bucket == self.MULTI:
             return [self.tts.text_to_speech(text) for text in encs]
+        n_real = len(encs)
+        if self.pad_group_sizes and n_real > 1:
+            target = 1 << (n_real - 1).bit_length()  # next power of two
+            encs = list(encs) + [encs[0]] * (target - n_real)
         stacked = {
             k: np.concatenate([e[k] for e in encs], axis=0)
             for k in ("phoneme_indices", "stress_indices", "text_padding_mask")
@@ -266,16 +278,55 @@ class KokoroPipeline:
         )
         mel = np.asarray(mel)
         lengths = np.atleast_1d(np.asarray(length))
-        out: List[Optional[np.ndarray]] = []
-        for row in range(len(encs)):
+        mels: List[Optional[np.ndarray]] = []
+        for row in range(n_real):  # decode-padded rows are dropped
             n = int(lengths[row])
             if n == 0:
-                out.append(None)
+                mels.append(None)
                 continue
-            m = tts._trim_trailing_silence(
+            mels.append(tts._trim_trailing_silence(
                 np.clip(mel[row, :n], -11.5, 2.0)
-            )
-            out.append(np.asarray(tts.vocoder.mel_to_audio(jnp.asarray(m))))
+            ))
+        return self._vocode_group(mels)
+
+    # mel-frame quantum for vocoder calls: the jitted vocoders compile per
+    # input length, so serving pads trimmed mels up this ladder (with
+    # log-mel silence) and cuts waveforms back — bounding vocoder programs
+    # to max_frames/VOCODE_QUANTUM T-shapes (x power-of-two batch sizes)
+    # instead of one per utterance length ever served.
+    VOCODE_QUANTUM = 128
+
+    def _vocode_group(
+        self, mels: List[Optional[np.ndarray]]
+    ) -> List[Optional[np.ndarray]]:
+        """Vocode a dispatch group's mels in ONE batched call.
+
+        Without this, vocoding runs once per row and SERIALIZES the group —
+        measured: 16 concurrent requests served SLOWER than sequential
+        (0.74x) with per-row Griffin-Lim, because decode batched but the
+        vocoder didn't.  Rows pad to a common quantized T (log-mel silence)
+        and a power-of-two batch (repeated rows, dropped after); each wave
+        cuts back to its true frame count."""
+        import jax.numpy as jnp
+
+        tts = self.tts
+        real = [(i, m) for i, m in enumerate(mels) if m is not None]
+        out: List[Optional[np.ndarray]] = [None] * len(mels)
+        if not real:
+            return out
+        q = self.VOCODE_QUANTUM
+        t_pad = max(((m.shape[0] + q - 1) // q) * q for _, m in real)
+        rows = [
+            np.pad(m, ((0, t_pad - m.shape[0]), (0, 0)), constant_values=-11.5)
+            for _, m in real
+        ]
+        if self.pad_group_sizes and len(rows) > 1:
+            b_pad = 1 << (len(rows) - 1).bit_length()
+            rows += [rows[0]] * (b_pad - len(rows))
+        wavs = tts.vocoder.mel_to_audio_batch(jnp.asarray(np.stack(rows)))
+        hop = int(tts.vocoder.audio["hop_length"])
+        for k, (i, m) in enumerate(real):
+            out[i] = np.asarray(wavs[k][: m.shape[0] * hop])
         return out
 
 
@@ -332,6 +383,18 @@ class TTSServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                try:
+                    self._post()
+                except BrokenPipeError:  # client went away mid-response
+                    pass
+                except Exception as err:  # never reset the connection
+                    logger.exception("handler failure")
+                    try:
+                        self._json(500, {"error": f"internal: {err}"})
+                    except Exception:
+                        pass
+
+            def _post(self):
                 if self.path != "/tts":
                     self._json(404, {"error": "not found"})
                     return

@@ -141,6 +141,43 @@ class TestVocoderManager:
         assert wav.shape[0] == 20 * 256
         assert np.isfinite(wav).all()
 
+    def test_griffin_lim_batch_matches_single(self):
+        """mel_to_audio_batch (the serving path's one-call group vocoder)
+        reproduces per-row mel_to_audio exactly: vmap over the phase loop
+        changes batching, not numerics."""
+        from kokoro_tpu.inference.vocoder import VocoderManager
+
+        vm = VocoderManager("griffin_lim", griffin_lim_iters=8)
+        rng = np.random.default_rng(0)
+        mels = jnp.asarray(
+            rng.uniform(-9.0, -2.0, size=(3, 24, 80)).astype(np.float32)
+        )
+        batch = vm.mel_to_audio_batch(mels)
+        assert batch.shape == (3, (24 - 1) * 256)
+        for i in range(3):
+            single = vm.mel_to_audio(mels[i])
+            np.testing.assert_allclose(batch[i], single, rtol=2e-4, atol=2e-5)
+
+    def test_hifigan_batch_matches_single(self, tmp_path):
+        from kokoro_tpu.inference.vocoder import VocoderManager, export_hifigan_npz
+        from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+
+        gen = HiFiGANGenerator(HiFiGANConfig())
+        params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))
+        path = tmp_path / "voc.npz"
+        export_hifigan_npz(params, path)
+        vm = VocoderManager("hifigan", vocoder_path=str(path))
+        rng = np.random.default_rng(1)
+        mels = jnp.asarray(
+            rng.uniform(-9.0, -2.0, size=(2, 12, 80)).astype(np.float32)
+        )
+        batch = vm.mel_to_audio_batch(mels)
+        assert batch.shape == (2, 12 * 256)
+        for i in range(2):
+            np.testing.assert_allclose(
+                batch[i], vm.mel_to_audio(mels[i]), rtol=2e-4, atol=2e-5
+            )
+
 
 class TestCacheManagerCli:
     def test_status_counts(self, tmp_path):
