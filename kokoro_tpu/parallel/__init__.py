@@ -10,7 +10,12 @@ same single-device numerics.  Sequence parallelism adds a 'seq' mesh axis that
 shards the mel-FRAME dimension of the batch (mesh.py:_TIME_AXIS_OFFSET) —
 XLA's SPMD partitioner splits the decoder's frame-axis compute across chips
 and inserts the K/V all-gathers for attention itself; all three axes compose
-on one mesh (e.g. ('data', 'seq', 'model') = dp x sp x tp).
+on one mesh (e.g. ('data', 'seq', 'model') = dp x sp x tp).  Pipeline
+parallelism (parallel/pp.py) completes the canonical axis set as a GPipe
+microbatch-pipelining primitive over a 'stage' axis (shard_map + ppermute
+ring) — provided as a tested primitive rather than a trainer default, since
+at this model's ~30 M-param scale pipelining only adds bubbles (rationale in
+pp.py's docstring and docs/DISTRIBUTED.md).
 """
 
 from kokoro_tpu.parallel.tp import (
@@ -19,6 +24,14 @@ from kokoro_tpu.parallel.tp import (
     shard_tree,
     tp_size,
     tree_shardings,
+)
+from kokoro_tpu.parallel.pp import (
+    create_pp_mesh,
+    pipeline_apply,
+    stack_layer_params,
+    stage_params_sharding,
+    stage_size,
+    unstack_layer_params,
 )
 from kokoro_tpu.parallel.mesh import (
     batch_sharding,
@@ -51,4 +64,10 @@ __all__ = [
     "shard_tree",
     "tp_size",
     "tree_shardings",
+    "create_pp_mesh",
+    "pipeline_apply",
+    "stack_layer_params",
+    "stage_params_sharding",
+    "stage_size",
+    "unstack_layer_params",
 ]

@@ -1,0 +1,247 @@
+"""Pipeline parallelism: GPipe microbatch pipelining over a ``stage`` mesh axis.
+
+The reference has no distributed training of any kind (SURVEY.md §2.9); data
+parallelism is the semantics-preserving scale-out axis, and tensor/sequence
+parallelism (parallel/tp.py, parallel/mesh.py) shard the matmuls and the mel
+frame axis.  Pipeline parallelism is the fourth canonical axis: it shards
+LAYERS across devices and overlaps their compute by streaming microbatches
+through the stage ring.
+
+At this model's scale (≈30 M params, 6+6 layers of width 512) pipelining is
+not a win — the whole model fits in one core's HBM with room to spare, and
+the per-stage matmuls are already small against the 128×128 MXU, so cutting
+them S-ways only deepens the utilization problem while adding bubble overhead
+(the scaling-book recipe: pipeline only when parameters + activations exceed
+a chip, after DP/TP).  It is therefore provided as a first-class, tested
+PRIMITIVE — composable with the ``data`` axis on the same mesh — rather than
+wired in as a trainer default.
+
+Design (TPU-native, no reference counterpart):
+
+* The S pipeline stages are identical programs under SPMD: ``shard_map`` over
+  the ``stage`` mesh axis, with each device holding its stage's slice of a
+  LAYER-STACKED parameter tree (leading axis ``(S, layers_per_stage, ...)``
+  sharded on ``stage``).
+* One ``lax.scan`` runs ``M + S - 1`` ticks.  Each tick every stage applies
+  its layer group to the activation it holds, then the ring rotates:
+  ``lax.ppermute`` sends activations stage ``i`` → ``i + 1`` over ICI.  Stage
+  0 injects microbatch ``t``; the last stage's outputs for ticks ``>= S - 1``
+  are the pipeline's outputs (microbatch ``t - (S - 1)``).
+* The backward pass needs no hand-written schedule: ``ppermute`` is linear
+  (its transpose is the reverse permutation), so ``jax.grad`` through the
+  scan yields the reverse-pipelined backward automatically — the 1F1B-style
+  overlap falls out of XLA's latency-hiding scheduler.
+* Per-microbatch side inputs that every stage needs (e.g. the decoder's
+  cross-attention memory and padding masks) are indexed per stage at
+  ``t - stage_index``, so stage ``s`` always sees the aux tree of the
+  microbatch it is currently processing.
+
+Numerics are exactly those of running the layer stack sequentially per
+microbatch (bubble ticks compute on garbage that is never read); parity —
+forward and gradients, pure-PP and dp×pp — is proven in
+tests/unit/test_pipeline_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STAGE_AXIS = "stage"
+
+
+def stage_size(mesh: Optional[Mesh]) -> int:
+    """Size of the ``stage`` (pipeline-parallel) axis; 1 when absent."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(STAGE_AXIS, 1))
+
+
+def stack_layer_params(layer_params: Sequence[Any], n_stages: int):
+    """Stack L per-layer parameter trees (identical structure) into one tree
+    whose leaves carry a leading ``(n_stages, L // n_stages)`` axis pair —
+    the layout ``pipeline_apply`` shards over the ``stage`` mesh axis.
+    """
+    n_layers = len(layer_params)
+    if n_layers % n_stages:
+        raise ValueError(
+            f"{n_layers} layers do not divide into {n_stages} stages"
+        )
+    per = n_layers // n_stages
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+    return jax.tree.map(
+        lambda x: x.reshape((n_stages, per) + x.shape[1:]), stacked
+    )
+
+
+def unstack_layer_params(stacked: Any):
+    """Inverse of :func:`stack_layer_params` — a list of L per-layer trees."""
+    leaves = jax.tree.leaves(stacked)
+    S, per = leaves[0].shape[0], leaves[0].shape[1]
+    flat = jax.tree.map(
+        lambda x: x.reshape((S * per,) + x.shape[2:]), stacked
+    )
+    return [jax.tree.map(lambda x, i=i: x[i], flat) for i in range(S * per)]
+
+
+def stage_params_sharding(mesh: Mesh, stacked_params: Any):
+    """NamedSharding pytree placing the leading stage axis of a stacked
+    parameter tree on the ``stage`` mesh axis (everything else replicated)."""
+    def one(x):
+        return NamedSharding(mesh, P(STAGE_AXIS, *([None] * (x.ndim - 1))))
+    return jax.tree.map(one, stacked_params)
+
+
+def pipeline_apply(
+    layer_fn: Callable[[Any, Any, Any], Any],
+    stacked_params: Any,
+    microbatches: Any,
+    mesh: Mesh,
+    *,
+    aux: Any = None,
+    batch_axis: Optional[str] = None,
+):
+    """Run a homogeneous layer stack over ``M`` microbatches, GPipe-pipelined
+    across the mesh's ``stage`` axis.
+
+    Args:
+      layer_fn: ``(one_layer_params, activation, aux) -> activation`` — one
+        layer's forward.  Called under ``lax.scan`` over each stage's local
+        layer group; must be shape-preserving on ``activation``.
+      stacked_params: tree from :func:`stack_layer_params`, leaves
+        ``(S, layers_per_stage, ...)``; the leading axis must be sharded on
+        ``stage`` (see :func:`stage_params_sharding`) or replicated.
+      microbatches: activation tree with leading microbatch axis ``M``;
+        each microbatch is what enters layer 0.
+      mesh: mesh carrying a ``stage`` axis (optionally also ``data``).
+      aux: optional per-microbatch side-input tree with leading axis ``M``
+        (e.g. cross-attention memory + masks), visible to every layer of the
+        microbatch currently at each stage.
+      batch_axis: optional mesh axis name sharding the batch dimension
+        (axis 1 of the microbatch leaves) for dp × pp composition.
+
+    Returns:
+      Activation tree with leading axis ``M``: layer stack applied to every
+      microbatch, identical to the sequential schedule.
+    """
+    S = stage_size(mesh)
+    leaves = jax.tree.leaves(stacked_params)
+    if leaves and leaves[0].shape[0] != S:
+        raise ValueError(
+            f"stacked params lead with {leaves[0].shape[0]} stages but the "
+            f"mesh '{STAGE_AXIS}' axis has size {S}"
+        )
+    M = jax.tree.leaves(microbatches)[0].shape[0]
+
+    def param_spec(x):
+        return P(STAGE_AXIS, *([None] * (x.ndim - 1)))
+
+    def mb_spec(x):
+        # (M, B, ...): microbatch axis replicated, batch axis optionally on
+        # the data axis.
+        spec = [None] * x.ndim
+        if batch_axis is not None and x.ndim >= 2:
+            spec[1] = batch_axis
+        return P(*spec)
+
+    params_specs = jax.tree.map(param_spec, stacked_params)
+    mb_specs = jax.tree.map(mb_spec, microbatches)
+    aux_specs = jax.tree.map(mb_spec, aux) if aux is not None else None
+
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def run(local_params, mbs, aux_local):
+        # local_params leaves: (1, layers_per_stage, ...) — this stage's group.
+        group = jax.tree.map(lambda x: x[0], local_params)
+        stage_idx = jax.lax.axis_index(STAGE_AXIS)
+
+        def pick(tree, idx):
+            safe = jnp.clip(idx, 0, M - 1)
+            return jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, safe, axis=0, keepdims=False
+                ),
+                tree,
+            )
+
+        def apply_group(act, aux_t):
+            def body(a, layer_p):
+                return layer_fn(layer_p, a, aux_t), None
+            out, _ = jax.lax.scan(body, act, group)
+            return out
+
+        zero_act = jax.tree.map(lambda x: jnp.zeros_like(x[0]), mbs)
+
+        def tick(carry, t):
+            act = carry
+            # Stage 0 injects microbatch t; other stages keep what the ring
+            # delivered last tick.  Bubble ticks (t >= M at stage 0, t < s at
+            # stage s) compute on zeros/garbage that is never read out.
+            injected = pick(mbs, t)
+            act = jax.tree.map(
+                lambda inj, a: jnp.where(stage_idx == 0, inj, a),
+                injected, act,
+            )
+            aux_t = (
+                pick(aux_local, t - stage_idx) if aux_local is not None
+                else None
+            )
+            out = apply_group(act, aux_t)
+            nxt = jax.tree.map(lambda o: jax.lax.ppermute(o, STAGE_AXIS, perm), out)
+            return nxt, out
+
+        _, outs = jax.lax.scan(tick, zero_act, jnp.arange(M + S - 1))
+        # outs: (M+S-1, B, ...) per stage.  Only the LAST stage's ticks
+        # S-1 .. M+S-2 are real pipeline outputs; slice them here and let
+        # out_specs stack the per-stage results on a leading stage axis.
+        result = jax.tree.map(lambda o: o[S - 1:], outs)  # (M, B, ...)
+        return jax.tree.map(lambda r: r[None], result)   # (1, M, B, ...)
+
+    out_specs = jax.tree.map(
+        lambda x: P(STAGE_AXIS, *mb_spec(x)), microbatches
+    )
+    shmapped = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(params_specs, mb_specs, aux_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    stacked_out = shmapped(stacked_params, microbatches, aux)
+    # (S, M, B, ...): every stage emitted its tick outputs; the last stage's
+    # slice is the pipeline result.
+    return jax.tree.map(lambda x: x[S - 1], stacked_out)
+
+
+def sequential_apply(layer_fn, stacked_params, microbatches, aux=None):
+    """Reference schedule: the same layer stack applied microbatch-by-
+    microbatch on one device — the numerics ``pipeline_apply`` must match."""
+    flat = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), stacked_params
+    )
+
+    def one(mb, aux_t):
+        def body(a, layer_p):
+            return layer_fn(layer_p, a, aux_t), None
+        out, _ = jax.lax.scan(body, mb, flat)
+        return out
+
+    if aux is None:
+        return jax.vmap(lambda mb: one(mb, None))(microbatches)
+    return jax.vmap(one)(microbatches, aux)
+
+
+def create_pp_mesh(n_stages: int, n_data: int = 1, devices=None) -> Mesh:
+    """(data, stage) mesh for dp × pp runs (or pure PP with ``n_data=1``)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_stages * n_data
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_stages)
+    return Mesh(arr, ("data", STAGE_AXIS))
