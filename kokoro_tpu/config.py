@@ -245,6 +245,12 @@ class TrainingConfig:
     # TPU preset carries; sorted bucket order keeps carried items
     # length-adjacent, so mel padding barely grows.
     carry_tail: bool = False
+    # Packing mode: "quantile" = reference sqrt(N)-quantile buckets + greedy
+    # frame-budget packing (reference dataset.py:951-1010); "bucket" = items
+    # grouped by their OWN padded mel bucket before packing, so no batch ever
+    # mixes items destined for different buckets — measured 0.815 -> 0.90
+    # padding efficiency on the bench distribution at the same shape count.
+    pack_mode: str = "quantile"
     # Quantum for the padded batch dimension.  None = min(4, max_batch_size)
     # (always lcm'd with the mesh size).  Every distinct padded B is a fresh
     # XLA compile of the whole train step; setting this to max_batch_size
@@ -297,6 +303,11 @@ class TrainingConfig:
             raise ValueError(
                 f"rel_pos_type must be 'rope' or 'alibi', got {self.rel_pos_type!r}"
             )
+        if self.pack_mode not in ("quantile", "bucket"):
+            raise ValueError(
+                f"pack_mode must be 'quantile' or 'bucket', "
+                f"got {self.pack_mode!r}"
+            )
         if self.batch_order not in ("spread", "shape_major"):
             raise ValueError(
                 f"batch_order must be 'spread' or 'shape_major', "
@@ -315,8 +326,8 @@ class TrainingConfig:
             self.mesh_shape = tuple(self.mesh_shape)
             if len(self.mesh_shape) > 3:
                 raise ValueError(
-                    "mesh_shape supports at most 3 axes (data, seq, model); "
-                    f"got {self.mesh_shape}"
+                    "mesh_shape supports at most 3 axes (data, seq, model) "
+                    f"or (data, stage); got {self.mesh_shape}"
                 )
             if (len(self.mesh_shape) == 3
                     and len(self.mesh_axis_names) < 3):
@@ -325,13 +336,36 @@ class TrainingConfig:
                     "(e.g. ('data', 'seq', 'model')); only a 2-axis shape "
                     "defaults its second axis to 'model'"
                 )
-        bad_axes = set(self.mesh_axis_names) - {"data", "seq", "model"}
+        bad_axes = set(self.mesh_axis_names) - {"data", "seq", "model", "stage"}
         if bad_axes:
             raise ValueError(
                 f"unknown mesh axis names {sorted(bad_axes)}; "
                 "supported: 'data' (batch), 'seq' (sequence parallel over "
-                "mel frames), 'model' (tensor parallel)"
+                "mel frames), 'model' (tensor parallel), 'stage' (pipeline "
+                "parallel over decoder layers)"
             )
+        if "stage" in self.mesh_axis_names:
+            others = set(self.mesh_axis_names) - {"data", "stage"}
+            if others:
+                raise ValueError(
+                    "pipeline parallelism composes with 'data' only; "
+                    f"cannot combine 'stage' with {sorted(others)}"
+                )
+            if self.use_stochastic_depth and self.stochastic_depth_rate > 0:
+                raise ValueError(
+                    "pipeline parallelism ('stage' axis) requires "
+                    "use_stochastic_depth=False: all stages share one "
+                    "DecoderBlock module (parallel/pp_step.py)"
+                )
+            if (self.mesh_shape is not None
+                    and self.mesh_axis_names.index("stage")
+                    < len(self.mesh_shape)):
+                pp = self.mesh_shape[self.mesh_axis_names.index("stage")]
+                if pp > 1 and self.n_decoder_layers % pp:
+                    raise ValueError(
+                        f"n_decoder_layers={self.n_decoder_layers} must be "
+                        f"divisible by the {pp}-way 'stage' axis"
+                    )
         if self.mel_bucket_sizes and self.mel_bucket_sizes[-1] < self.max_seq_length:
             self.mel_bucket_sizes = self.mel_bucket_sizes + (self.max_seq_length,)
         if (self.mesh_shape is not None
@@ -412,6 +446,7 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         # full-row batches, one padded-B program
         batch_order="shape_major",
         carry_tail=True,
+        pack_mode="bucket",
         batch_size_multiple=16,
         async_checkpointing=True,
         # one-ish drain per epoch at bench scale; keeps e2e throughput

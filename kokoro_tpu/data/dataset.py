@@ -494,10 +494,15 @@ class RuslanDataset:
 def train_val_split(
     n: int, validation_split: float = 0.1, seed: int = 42
 ) -> Tuple[List[int], List[int]]:
-    """90/10 split with a fixed shuffle seed (reference trainer.py:289)."""
+    """90/10 split with a fixed shuffle seed, EXACTLY the reference's recipe
+    (reference trainer.py:286-293): shuffle with the Mersenne-Twister seed,
+    train = first ``int(n * (1 - split))`` of the permutation, val = the tail.
+    Matching the tail-val convention (not just the permutation) means both
+    frameworks put the SAME utterances in validation — load-bearing for the
+    head-to-head parity run (scripts/parity_run.py)."""
     import random as _random
 
     indices = list(range(n))
     _random.Random(seed).shuffle(indices)
-    n_val = int(n * validation_split)
-    return indices[n_val:], indices[:n_val]
+    split_idx = int(n * (1 - validation_split))
+    return indices[:split_idx], indices[split_idx:]

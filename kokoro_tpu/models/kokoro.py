@@ -254,6 +254,27 @@ class KokoroModel(nn.Module):
     # ------------------------------------------------------------------
     # Decoder over a full (teacher-forced) mel sequence
     # ------------------------------------------------------------------
+    def prepare_decoder_input(
+        self, mel_specs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Teacher-forcing front half of the decoder: mel shifted right by one
+        with a zero first frame (reference model.py:519), input projection,
+        input dropout, positional encoding.  Split out so the pipeline-parallel
+        train step (parallel/pp_step.py) can run the layer stack separately."""
+        decoder_input = jnp.pad(mel_specs[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+        x = self.mel_projection_in(decoder_input)
+        x = self.input_dropout(x, deterministic=deterministic)
+        return add_positional_encoding(x, 0)
+
+    def finish_decoding(self, x: jnp.ndarray):
+        """Back half of the decoder after the layer stack: final LayerNorm,
+        mel projection, and the stop head on DETACHED features (reference
+        model.py:547-563)."""
+        x = self.decoder_norm(x)
+        predicted_mel = self.mel_projection_out(x)
+        stop_logits = self.stop_token_predictor(jax.lax.stop_gradient(x))[..., 0]
+        return predicted_mel, stop_logits
+
     def decode_training(
         self,
         memory: jnp.ndarray,                  # (B, T, H)
@@ -262,21 +283,56 @@ class KokoroModel(nn.Module):
         mel_padding_mask: Optional[jnp.ndarray],
         deterministic: bool = True,
     ):
-        # Teacher forcing: feed mel shifted right by one, first frame zero
-        # (reference model.py:519)
-        decoder_input = jnp.pad(mel_specs[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-        x = self.mel_projection_in(decoder_input)
-        x = self.input_dropout(x, deterministic=deterministic)
-        x = add_positional_encoding(x, 0)
+        x = self.prepare_decoder_input(mel_specs, deterministic)
         for layer in self.decoder_layers:
             x, _ = layer(
                 x, memory, memory_padding_mask, mel_padding_mask, deterministic
             )
-        x = self.decoder_norm(x)
-        predicted_mel = self.mel_projection_out(x)
-        # Stop head on detached features (reference model.py:547-563)
-        stop_logits = self.stop_token_predictor(jax.lax.stop_gradient(x))[..., 0]
-        return predicted_mel, stop_logits
+        return self.finish_decoding(x)
+
+    # ------------------------------------------------------------------
+    # Encoder memory for training: encode + expand + SpecAugment
+    # ------------------------------------------------------------------
+    def forward_memory(
+        self,
+        phoneme_indices: jnp.ndarray,
+        stress_indices: Optional[jnp.ndarray],
+        text_padding_mask: Optional[jnp.ndarray],
+        max_frames: int,
+        pitch_targets: Optional[jnp.ndarray] = None,
+        energy_targets: Optional[jnp.ndarray] = None,
+        phoneme_durations: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Everything before the decoder layer stack: encode + expand and
+        SpecAugment on the expanded memory (reference model.py:636-639).
+        Returns (memory, dur_pred, pitch_pred, energy_pred, frame_mask)."""
+        if text_padding_mask is None:
+            text_padding_mask = jnp.zeros(phoneme_indices.shape, dtype=bool)
+        memory, dur_pred, pitch_pred, energy_pred, frame_mask = (
+            self.encode_and_expand(
+                phoneme_indices, stress_indices, text_padding_mask,
+                max_frames=max_frames,
+                pitch_targets=pitch_targets,
+                energy_targets=energy_targets,
+                phoneme_durations=phoneme_durations,
+                deterministic=deterministic,
+            )
+        )
+        if (
+            self.use_spec_augment
+            and not deterministic
+            and self.has_rng("specaugment")
+        ):
+            memory = apply_spec_augment(
+                memory,
+                self.make_rng("specaugment"),
+                time_mask_max=self.spec_augment_time_mask_max,
+                freq_mask_max=self.spec_augment_freq_mask_max,
+                num_time_masks=self.spec_augment_num_time_masks,
+                num_freq_masks=self.spec_augment_num_freq_masks,
+            )
+        return memory, dur_pred, pitch_pred, energy_pred, frame_mask
 
     # ------------------------------------------------------------------
     # Full training forward (reference model.py:565-674)
@@ -300,11 +356,8 @@ class KokoroModel(nn.Module):
         (B,T).
         """
         B, T, _ = mel_specs.shape
-        if text_padding_mask is None:
-            text_padding_mask = jnp.zeros(phoneme_indices.shape, dtype=bool)
-
         memory, dur_pred, pitch_pred, energy_pred, frame_mask = (
-            self.encode_and_expand(
+            self.forward_memory(
                 phoneme_indices, stress_indices, text_padding_mask,
                 max_frames=T,
                 pitch_targets=pitch_targets,
@@ -313,20 +366,6 @@ class KokoroModel(nn.Module):
                 deterministic=deterministic,
             )
         )
-
-        if (
-            self.use_spec_augment
-            and not deterministic
-            and self.has_rng("specaugment")
-        ):
-            memory = apply_spec_augment(
-                memory,
-                self.make_rng("specaugment"),
-                time_mask_max=self.spec_augment_time_mask_max,
-                freq_mask_max=self.spec_augment_freq_mask_max,
-                num_time_masks=self.spec_augment_num_time_masks,
-                num_freq_masks=self.spec_augment_num_freq_masks,
-            )
 
         predicted_mel, stop_logits = self.decode_training(
             memory, frame_mask, mel_specs, mel_padding_mask, deterministic

@@ -246,6 +246,97 @@ def make_diagnostic_step(model: KokoroModel, config: TrainingConfig):
     return jax.jit(diag)
 
 
+def apply_gradient_update(
+    state: TrainState,
+    grads,
+    losses,
+    clip_norm,
+    *,
+    config: TrainingConfig,
+    optimizer: optax.GradientTransformation,
+    preclip_tree=None,
+    ema_decay: float = 0.999,
+):
+    """Everything after the gradients: explosion detection, pre-clips, global
+    clip, non-finite skip, AdamW, weight-norm projection, EMA — shared by the
+    standard train step and the pipeline-parallel variant
+    (parallel/pp_step.py), so the stability semantics live in one place."""
+    # ---- global grad norm + explosion detection ----
+    raw_norm = global_norm(grads)
+    grad_state = GradExplosionState(state.grad_ema, state.grad_ema_steps)
+    threshold = grad_explosion_threshold(grad_state, state.opt_step, config)
+    exploded = raw_norm > threshold
+    clip_norm = jnp.where(exploded, config.emergency_clip_norm, clip_norm)
+
+    # ---- non-finite guard: skip the whole optimizer step ----
+    # Deliberate divergence (like adaptive_stabilization above): the
+    # reference filters non-finite values INSIDE each masked loss mean
+    # (reference losses.py:40-46), salvaging a partially-bad batch by
+    # training on its finite elements.  Element-wise isfinite gathers
+    # inside every loss would block XLA fusion on the hot path for an
+    # event that, when it fires, signals broken data or divergence —
+    # so we instead skip the whole optimizer step (params/opt/EMA do not
+    # advance, skipped_steps increments, the host dumps the batch).
+    finite = jnp.isfinite(raw_norm) & jnp.isfinite(losses["total"])
+
+    # ---- pre-clips then global clip ----
+    if preclip_tree is not None:
+        grads = apply_preclips(grads, preclip_tree)
+    clipped_norm = global_norm(grads)
+    scale = jnp.minimum(1.0, clip_norm / (clipped_norm + 1e-6))
+    grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    # Replace any non-finite grads with zeros so the (discarded) update
+    # cannot poison optimizer state through where-branches.
+    grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+    )
+
+    updates, new_opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = apply_weight_norm_constraints(new_params, config)
+    # EMA every N successful steps (reference trainer.py:1500,
+    # config.ema_update_every); counter counts actual EMA updates.
+    every = max(int(config.ema_update_every), 1)
+    ema_due = (
+        jnp.mod(state.opt_step + 1, every) == 0 if every > 1
+        else jnp.asarray(True)
+    )
+    new_ema = ema_update(state.ema_params, new_params, ema_decay)
+
+    def merge(new, old):
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+
+    ema_step = finite & ema_due
+    new_grad_state = update_grad_explosion_state(
+        grad_state, raw_norm, config.grad_explosion_ema_decay
+    )
+    next_state = TrainState(
+        params=merge(new_params, state.params),
+        opt_state=merge(new_opt_state, state.opt_state),
+        opt_step=state.opt_step + finite.astype(jnp.int32),
+        ema_params=jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ema_step, n, o), new_ema, state.ema_params
+        ),
+        ema_updates=state.ema_updates + ema_step.astype(jnp.int32),
+        grad_ema=jnp.where(finite, new_grad_state.ema_norm, state.grad_ema),
+        grad_ema_steps=state.grad_ema_steps + finite.astype(jnp.int32),
+        skipped_steps=state.skipped_steps + (1 - finite.astype(jnp.int32)),
+    )
+    metrics = dict(
+        losses,
+        grad_norm=raw_norm,
+        grad_norm_clipped=jnp.minimum(clipped_norm, clip_norm),
+        clip_norm=clip_norm,
+        exploded=exploded.astype(jnp.float32),
+        stepped=finite.astype(jnp.float32),
+    )
+    return next_state, metrics
+
+
 def make_train_step(
     model: KokoroModel,
     config: TrainingConfig,
@@ -298,80 +389,11 @@ def make_train_step(
         else:
             grads, losses, clip_norm = one_microbatch(state.params, batch, rng)
 
-        # ---- global grad norm + explosion detection ----
-        raw_norm = global_norm(grads)
-        grad_state = GradExplosionState(state.grad_ema, state.grad_ema_steps)
-        threshold = grad_explosion_threshold(grad_state, state.opt_step, config)
-        exploded = raw_norm > threshold
-        clip_norm = jnp.where(exploded, config.emergency_clip_norm, clip_norm)
-
-        # ---- non-finite guard: skip the whole optimizer step ----
-        # Deliberate divergence (like adaptive_stabilization above): the
-        # reference filters non-finite values INSIDE each masked loss mean
-        # (reference losses.py:40-46), salvaging a partially-bad batch by
-        # training on its finite elements.  Element-wise isfinite gathers
-        # inside every loss would block XLA fusion on the hot path for an
-        # event that, when it fires, signals broken data or divergence —
-        # so we instead skip the whole optimizer step (params/opt/EMA do not
-        # advance, skipped_steps increments, the host dumps the batch).
-        finite = jnp.isfinite(raw_norm) & jnp.isfinite(losses["total"])
-
-        # ---- pre-clips then global clip ----
-        if preclip_tree is not None:
-            grads = apply_preclips(grads, preclip_tree)
-        clipped_norm = global_norm(grads)
-        scale = jnp.minimum(1.0, clip_norm / (clipped_norm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        # Replace any non-finite grads with zeros so the (discarded) update
-        # cannot poison optimizer state through where-branches.
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        return apply_gradient_update(
+            state, grads, losses, clip_norm,
+            config=config, optimizer=optimizer,
+            preclip_tree=preclip_tree, ema_decay=ema_decay,
         )
-
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = apply_weight_norm_constraints(new_params, config)
-        # EMA every N successful steps (reference trainer.py:1500,
-        # config.ema_update_every); counter counts actual EMA updates.
-        every = max(int(config.ema_update_every), 1)
-        ema_due = (
-            jnp.mod(state.opt_step + 1, every) == 0 if every > 1
-            else jnp.asarray(True)
-        )
-        new_ema = ema_update(state.ema_params, new_params, ema_decay)
-
-        def merge(new, old):
-            return jax.tree_util.tree_map(
-                lambda n, o: jnp.where(finite, n, o), new, old
-            )
-
-        ema_step = finite & ema_due
-        new_grad_state = update_grad_explosion_state(
-            grad_state, raw_norm, config.grad_explosion_ema_decay
-        )
-        next_state = TrainState(
-            params=merge(new_params, state.params),
-            opt_state=merge(new_opt_state, state.opt_state),
-            opt_step=state.opt_step + finite.astype(jnp.int32),
-            ema_params=jax.tree_util.tree_map(
-                lambda n, o: jnp.where(ema_step, n, o), new_ema, state.ema_params
-            ),
-            ema_updates=state.ema_updates + ema_step.astype(jnp.int32),
-            grad_ema=jnp.where(finite, new_grad_state.ema_norm, state.grad_ema),
-            grad_ema_steps=state.grad_ema_steps + finite.astype(jnp.int32),
-            skipped_steps=state.skipped_steps + (1 - finite.astype(jnp.int32)),
-        )
-        metrics = dict(
-            losses,
-            grad_norm=raw_norm,
-            grad_norm_clipped=jnp.minimum(clipped_norm, clip_norm),
-            clip_norm=clip_norm,
-            exploded=exploded.astype(jnp.float32),
-            stepped=finite.astype(jnp.float32),
-        )
-        return next_state, metrics
 
     return train_step
 

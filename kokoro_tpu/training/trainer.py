@@ -41,11 +41,14 @@ from kokoro_tpu.parallel.mesh import (
     create_mesh,
     make_sharded_eval_step,
     make_sharded_train_step,
+)
+from kokoro_tpu.parallel.mesh import (
     put_batch,
     replicated,
     round_up_to_multiple,
     seq_size as mesh_seq_size,
 )
+from kokoro_tpu.parallel.pp import stage_size as pp_stage_size
 from kokoro_tpu.parallel import tp as tp_rules
 from kokoro_tpu.training.checkpoint import CheckpointManager, build_model_metadata
 from kokoro_tpu.training.optimizer import (
@@ -214,18 +217,29 @@ class KokoroTrainer:
             self.dp_size = tp_rules.dp_size(self.mesh)
             self.tp_size = tp_rules.tp_size(self.mesh)
             self.sp_size = mesh_seq_size(self.mesh)
+            self.pp_size = pp_stage_size(self.mesh)
         else:
             self.mesh = None
             self.dp_size = 1
             self.tp_size = 1
             self.sp_size = 1
+            self.pp_size = 1
+        if self.pp_size > 1 and cfg.scan_steps > 1:
+            # the pipelined step consumes the (A, B, ...) microbatch axis
+            # whole; a further lax.scan stacking axis is not supported
+            logger.info(
+                "scan_steps=%d ignored under pipeline parallelism",
+                cfg.scan_steps,
+            )
+            cfg.scan_steps = 1
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
-        if self.dp_size > 1 or self.tp_size > 1 or self.sp_size > 1:
+        if (self.dp_size > 1 or self.tp_size > 1 or self.sp_size > 1
+                or self.pp_size > 1):
             logger.info(
-                "Parallelism: %d-way data x %d-way seq x %d-way tensor mesh "
-                "over %s devices (%d process%s)",
-                self.dp_size, self.sp_size, self.tp_size,
+                "Parallelism: %d-way data x %d-way seq x %d-way tensor "
+                "x %d-way pipeline mesh over %s devices (%d process%s)",
+                self.dp_size, self.sp_size, self.tp_size, self.pp_size,
                 jax.devices()[0].platform,
                 self.process_count,
                 "es" if self.process_count > 1 else "",
@@ -295,6 +309,7 @@ class KokoroTrainer:
                 mel_buckets=cfg.mel_bucket_sizes,
                 phoneme_buckets=cfg.phoneme_bucket_sizes,
                 carry_tail=getattr(cfg, "carry_tail", False),
+                pack_mode=getattr(cfg, "pack_mode", "quantile"),
             )
         else:
             self.batcher = FixedSizeBatcher(lengths, cfg.batch_size, seed=cfg.seed)
@@ -315,11 +330,19 @@ class KokoroTrainer:
         # full-T all-gather at every attention site.  The einsum path
         # partitions cleanly (per-shard logits + K/V all-gather), so flash is
         # disabled under a 'seq' axis.
-        use_flash = cfg.use_flash_attention and getattr(self, "sp_size", 1) <= 1
+        use_flash = (
+            cfg.use_flash_attention
+            and getattr(self, "sp_size", 1) <= 1
+            # the pipelined decoder runs inside shard_map where the pallas
+            # call's per-shard shapes are fine, but the encoder/finish parts
+            # stay GSPMD — keep one attention path per run for determinism
+            and getattr(self, "pp_size", 1) <= 1
+        )
         if cfg.use_flash_attention and not use_flash:
             logger.info(
-                "use_flash_attention disabled: %d-way sequence parallelism "
-                "partitions attention via SPMD einsum instead", self.sp_size,
+                "use_flash_attention disabled: %d-way seq x %d-way pipeline "
+                "parallelism partitions attention via SPMD einsum instead",
+                self.sp_size, self.pp_size,
             )
         self.model = KokoroModel(
             vocab_size=self.phoneme_processor.get_vocab_size(),
@@ -492,10 +515,19 @@ class KokoroTrainer:
         key = (spec_augment, scan_steps)
         if key not in self._train_step_cache:
             cfg = self.config
-            step = make_train_step(
-                self.model, cfg, self.optimizer, self._preclips,
-                self.ema_decay, spec_augment=spec_augment,
-            )
+            if self.pp_size > 1:
+                from kokoro_tpu.parallel.pp_step import make_pp_train_step
+
+                step = make_pp_train_step(
+                    self.model, cfg, self.optimizer, self.mesh,
+                    self._preclips, self.ema_decay,
+                    spec_augment=spec_augment,
+                )
+            else:
+                step = make_train_step(
+                    self.model, cfg, self.optimizer, self._preclips,
+                    self.ema_decay, spec_augment=spec_augment,
+                )
             if scan_steps > 1:
                 from kokoro_tpu.training.train_step import make_multi_step
 

@@ -122,6 +122,102 @@ class TestFrameBudgetBatcher:
         assert sum(len(x) for x in batches) == 40
 
 
+class TestBucketFirstPacking:
+    """pack_mode='bucket': items grouped by their own padded mel bucket —
+    no batch mixes items destined for different buckets, and the bench
+    distribution's padding efficiency is guarded against regression
+    (VERDICT r3 #9)."""
+
+    MEL_BUCKETS = (288, 320, 448, 512, 800, 896)
+    PH_BUCKETS = (64, 96, 160)
+
+    def _bench_lengths(self):
+        """The bench corpus distribution (bench.py _build_bench_corpus):
+        three duration clusters at 2.8-3.55 / 4.9-5.8 / 8.7-10.1 s."""
+        rng = np.random.default_rng(7)
+        clusters = [(224, 2.80, 3.55, 40), (160, 4.90, 5.80, 80),
+                    (96, 8.70, 10.10, 125)]
+        lengths = []
+        for count, lo, hi, ph in clusters:
+            for _ in range(count):
+                lengths.append((int(rng.uniform(lo, hi) * 22050 / 256), ph))
+        return lengths[: int(len(lengths) * 0.95)]
+
+    def _batcher(self, lengths, **kw):
+        base = dict(
+            max_frames_per_batch=30000, min_batch_size=4, max_batch_size=16,
+            batch_order="shape_major", mel_buckets=self.MEL_BUCKETS,
+            phoneme_buckets=self.PH_BUCKETS, carry_tail=True,
+            pack_mode="bucket",
+        )
+        base.update(kw)
+        return FrameBudgetBatcher(lengths, **base)
+
+    @staticmethod
+    def _efficiency(b, lengths, batches, row_quantum=16):
+        true_f = sum(l[0] for l in lengths)
+        padded = 0
+        for bt in batches:
+            mel, _ = b._padded_shape(bt)
+            padded += (-(-len(bt) // row_quantum) * row_quantum) * mel
+        return true_f / padded
+
+    def test_padding_efficiency_floor(self):
+        """>= 0.87 on the bench distribution with the bench bucket ladder and
+        the 16-row quantum — future batching changes cannot silently regress
+        BENCH padding_efficiency (round-3 measured 0.814 with quantile
+        packing; bucket-first measured 0.898)."""
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        eff = self._efficiency(b, lengths, b.build_batches(0))
+        assert eff >= 0.87, f"padding efficiency regressed: {eff:.3f}"
+
+    def test_beats_quantile_packing(self):
+        lengths = self._bench_lengths()
+        bb = self._batcher(lengths)
+        bq = self._batcher(lengths, pack_mode="quantile")
+        eff_b = self._efficiency(bb, lengths, bb.build_batches(0))
+        eff_q = self._efficiency(bq, lengths, bq.build_batches(0))
+        assert eff_b > eff_q
+
+    def test_no_cross_bucket_mixing_except_carry(self):
+        """Every batch's padded mel bucket equals the per-item bucket of all
+        its members, except carried tail items (which may ride one level up)."""
+        from kokoro_tpu.data.batching import _bucket_up
+
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths, carry_tail=False)
+        for bt in b.build_batches(0):
+            own = {_bucket_up(lengths[i][0], self.MEL_BUCKETS) for i in bt}
+            assert len(own) == 1, f"mixed buckets in one batch: {own}"
+
+    def test_all_items_covered_once(self):
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        seen = [i for bt in b.build_batches(2) for i in bt]
+        assert sorted(seen) == list(range(len(lengths)))
+
+    def test_budget_and_size_respected(self):
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        for bt in b.build_batches(0):
+            mel, _ = b._padded_shape(bt)
+            assert len(bt) * mel <= 30000 or len(bt) == 1
+            assert len(bt) <= 16
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(ValueError, match="pack_mode"):
+            FrameBudgetBatcher([(100, 10)], pack_mode="nope")
+
+    def test_falls_back_without_mel_buckets(self):
+        lengths = self._bench_lengths()
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=30000, pack_mode="bucket"
+        )
+        seen = [i for bt in b.build_batches(0) for i in bt]
+        assert sorted(seen) == list(range(len(lengths)))
+
+
 class TestCarryTail:
     def _lengths(self, n=100, seed=0):
         rng = np.random.default_rng(seed)

@@ -164,3 +164,19 @@ class TestTrainValSplit:
     def test_zero_split_all_train(self):
         train, val = train_val_split(10, 0.0, seed=0)
         assert len(val) == 0 and len(train) == 10
+
+    def test_reference_split_recipe_pinned(self):
+        """Byte-for-byte the reference's split (reference trainer.py:286-293):
+        Mersenne shuffle at seed 42, train = head int(n*(1-vs)), val = TAIL.
+        Both frameworks must put the SAME utterances in validation for the
+        head-to-head parity run (scripts/parity_run.py)."""
+        import random
+
+        n, vs = 48, 0.25
+        expect = list(range(n))
+        random.seed(42)
+        random.shuffle(expect)
+        split_idx = int(n * (1 - vs))
+        train, val = train_val_split(n, vs, seed=42)
+        assert train == expect[:split_idx]
+        assert val == expect[split_idx:]

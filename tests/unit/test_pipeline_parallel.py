@@ -13,6 +13,7 @@ import pytest
 
 from kokoro_tpu.models.blocks import DecoderBlock, EncoderBlock
 from kokoro_tpu.parallel.pp import (
+    assert_grads_match,
     create_pp_mesh,
     pipeline_apply,
     sequential_apply,
@@ -238,13 +239,11 @@ class TestGradientParity:
         l_pp, g_pp = jax.value_and_grad(loss_pp)(stacked)
         l_seq, g_seq = jax.value_and_grad(loss_seq)(stacked)
         np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
-            ),
-            g_pp, g_seq,
-        )
-        # grads are finite everywhere (bubble ticks contribute exactly zero)
+        # Magnitude-relative gate: fp32 reduction reordering between the two
+        # schedules leaves ~5e-7 relative noise on O(100) grads — elementwise
+        # atol gates are ill-conditioned here (round-3 ADVICE).
+        assert_grads_match(g_pp, g_seq)
+        # grads are finite everywhere (bubble ticks are cond-skipped)
         assert all(
             bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(g_pp)
         )
@@ -261,9 +260,7 @@ class TestGradientParity:
         g_seq = jax.grad(
             lambda x: jnp.sum(sequential_apply(fn, stacked, x) ** 2)
         )(mbs)
-        np.testing.assert_allclose(
-            np.asarray(g_pp), np.asarray(g_seq), atol=2e-5, rtol=1e-4
-        )
+        assert_grads_match(g_pp, g_seq)
 
     def test_dp_x_pp_grads(self):
         block, params = _encoder_layer_params(4, jax.random.PRNGKey(2))
@@ -279,9 +276,78 @@ class TestGradientParity:
         g_seq = jax.grad(
             lambda p: jnp.sum(sequential_apply(fn, p, mbs) ** 2)
         )(stacked)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
-            ),
-            g_pp, g_seq,
-        )
+        assert_grads_match(g_pp, g_seq)
+
+    def test_float64_exact_parity(self):
+        """Under x64 the two schedules agree to ~1e-14 — proof the algorithm
+        is exact and any fp32 mismatch is pure accumulation-order noise.
+        Uses a pure-jnp MLP layer (the flax blocks pin compute to their
+        ``dtype=float32`` attribute, which would reintroduce f32 noise)."""
+        jax.config.update("jax_enable_x64", True)
+        try:
+            def layer_fn(p, a, aux):
+                return jnp.tanh(a @ p["w"] + p["b"]) + a
+
+            keys = jax.random.split(jax.random.PRNGKey(2), 4)
+            params = [
+                {
+                    "w": jax.random.normal(
+                        k, (D_MODEL, D_MODEL), dtype=jnp.float64
+                    ) * 0.3,
+                    "b": jnp.zeros((D_MODEL,), dtype=jnp.float64),
+                }
+                for k in keys
+            ]
+            stacked = stack_layer_params(params, 4)
+            mesh = create_pp_mesh(4)
+            mbs = _microbatches(4, key=9).astype(jnp.float64)
+            g_pp = jax.grad(
+                lambda p: jnp.sum(pipeline_apply(layer_fn, p, mbs, mesh) ** 2)
+            )(stacked)
+            g_seq = jax.grad(
+                lambda p: jnp.sum(sequential_apply(layer_fn, p, mbs) ** 2)
+            )(stacked)
+            assert_grads_match(g_pp, g_seq, rel=1e-12, atol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_assert_grads_match_rejects_real_mismatch(self):
+        a = {"w": jnp.ones((4, 4))}
+        b = {"w": jnp.ones((4, 4)) * 1.01}
+        with pytest.raises(AssertionError, match="gradient mismatch"):
+            assert_grads_match(a, b)
+        with pytest.raises(AssertionError, match="non-finite"):
+            assert_grads_match({"w": jnp.array([jnp.nan])},
+                               {"w": jnp.array([0.0])})
+
+
+class TestBubbleSafety:
+    """Bubble ticks are lax.cond-skipped: a layer whose output/jacobian is
+    non-finite on degenerate (all-zero) input must not poison outputs or
+    parameter gradients (round-3 ADVICE pp.py:178)."""
+
+    def test_nan_on_garbage_layer_is_harmless(self):
+        def layer_fn(p, a, aux):
+            # 0/0 = NaN on an exactly-zero activation (the bubble payload);
+            # finite and smooth on real microbatches.
+            denom = jnp.sum(a * a)
+            return a * p["scale"] + a * (denom / denom)
+
+        params = [{"scale": jnp.float32(1.0 + 0.1 * i)} for i in range(4)]
+        stacked = stack_layer_params(params, 4)
+        mesh = create_pp_mesh(4)
+        mbs = _microbatches(3, key=13)  # M=3 < S=4: bubble-dominated
+
+        out = pipeline_apply(layer_fn, stacked, mbs, mesh)
+        ref = sequential_apply(layer_fn, stacked, mbs)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        g_pp = jax.grad(
+            lambda p: jnp.mean(pipeline_apply(layer_fn, p, mbs, mesh) ** 2)
+        )(stacked)
+        g_seq = jax.grad(
+            lambda p: jnp.mean(sequential_apply(layer_fn, p, mbs) ** 2)
+        )(stacked)
+        assert_grads_match(g_pp, g_seq)
