@@ -213,9 +213,14 @@ class RuslanDataset:
         self._disk_latency_ns = 0
 
         self.samples = self._load_samples()
+        self._length_cache = self._load_length_metadata()
+        # Stable sort by estimated mel length BEFORE applying split indices
+        # (reference dataset.py:400 sorts, THEN trainer.py:286-296 splits) —
+        # so index i names the SAME utterance in both frameworks and the
+        # train/val membership agrees for the head-to-head parity run.
+        self.samples.sort(key=lambda s: self._length_cache[s["audio_file"]][0])
         if indices is not None:
             self.samples = [self.samples[i] for i in indices]
-        self._length_cache = self._load_length_metadata()
 
     # ------------------------------------------------------------------
     # Corpus enumeration
