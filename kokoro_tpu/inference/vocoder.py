@@ -57,6 +57,7 @@ class VocoderManager:
         self.vocoder_type = vocoder_type
         self.hifigan_params = None
         self.hifigan = None
+        self._hifigan_config = None  # set by _load_hifigan from npz metadata
         if vocoder_type == "hifigan":
             params = self._load_hifigan(vocoder_path)
             if params is None:
@@ -67,7 +68,9 @@ class VocoderManager:
                 self.vocoder_type = "griffin_lim"
             else:
                 self.hifigan_params = params
-                self.hifigan = HiFiGANGenerator(HiFiGANConfig(num_mels=n_mels))
+                self.hifigan = HiFiGANGenerator(
+                    self._hifigan_config or HiFiGANConfig(num_mels=n_mels)
+                )
                 self._hifigan_apply = jax.jit(self.hifigan.apply)
 
     def _load_hifigan(self, path: Optional[str]):
@@ -79,14 +82,33 @@ class VocoderManager:
             return None
         if path.suffix == ".npz":
             with np.load(path, allow_pickle=True) as z:
-                flat = {k: jnp.asarray(z[k]) for k in z.files}
+                flat = {k: z[k] for k in z.files}
+            # optional embedded generator config (export_hifigan_npz): lets a
+            # compact in-environment-trained generator load with its own
+            # architecture instead of assuming universal_v1 dims
+            cfg_blob = flat.pop("__config__", None)
+            if cfg_blob is not None:
+                import json
+
+                cfg = json.loads(bytes(cfg_blob).decode("utf-8"))
+                self._hifigan_config = HiFiGANConfig(
+                    num_mels=cfg["num_mels"],
+                    upsample_initial_channel=cfg["upsample_initial_channel"],
+                    upsample_rates=tuple(cfg["upsample_rates"]),
+                    upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
+                    resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
+                    resblock_dilation_sizes=tuple(
+                        tuple(d) for d in cfg["resblock_dilation_sizes"]
+                    ),
+                    sampling_rate=cfg.get("sampling_rate", self.sample_rate),
+                )
             params: dict = {}
             for k, v in flat.items():
                 node = params
                 *parents, leaf = k.split("/")
                 for p in parents:
                     node = node.setdefault(p, {})
-                node[leaf] = v
+                node[leaf] = jnp.asarray(v)
             return {"params": params}
         # torch checkpoint (.pth / .pt / generator file)
         try:
@@ -151,8 +173,17 @@ class VocoderManager:
         return np.asarray(self._gl_batch(jnp.asarray(log_mels)))
 
 
-def export_hifigan_npz(params: dict, path: str | Path) -> None:
-    """Flatten converted flax params to an .npz for torch-free loading."""
+def export_hifigan_npz(
+    params: dict, path: str | Path, config: Optional[HiFiGANConfig] = None
+) -> None:
+    """Flatten converted flax params to an .npz for torch-free loading.
+
+    ``config`` (optional) embeds the generator architecture as a
+    ``__config__`` JSON blob so non-universal_v1 generators (e.g. the compact
+    in-environment-trained vocoder, scripts/train_hifigan.py) round-trip."""
+    import dataclasses
+    import json
+
     flat = {}
 
     def walk(node, prefix):
@@ -164,4 +195,9 @@ def export_hifigan_npz(params: dict, path: str | Path) -> None:
                 flat[key] = np.asarray(v)
 
     walk(params["params"], "")
+    if config is not None:
+        flat["__config__"] = np.frombuffer(
+            json.dumps(dataclasses.asdict(config)).encode("utf-8"),
+            dtype=np.uint8,
+        )
     np.savez(Path(path), **flat)

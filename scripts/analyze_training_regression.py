@@ -89,7 +89,51 @@ def flatten_norms(tree, prefix="") -> dict:
     return out
 
 
-_CACHE_VERSION = 1
+def flatten_arrays(tree, prefix="") -> dict:
+    """name -> float32 ndarray (for TRUE parameter-space deltas ||w_i - w_{i-1}||,
+    reference compute_weight_stats :213-287 — norm-of-difference, not
+    difference-of-norms)."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_arrays(v, f"{prefix}/{k}" if prefix else k))
+    else:
+        out[prefix] = np.asarray(tree, dtype=np.float32)
+    return out
+
+
+#: param-name -> architectural group, for top-mover attribution
+#: (reference classify_param :112-151).
+_GROUP_RULES = (
+    ("stop_token_predictor", "stop_head"),
+    ("pitch_embedding", "variance_embed"),
+    ("energy_embedding", "variance_embed"),
+    ("variance", "variance_pred"),
+    ("duration", "variance_pred"),
+    ("text_embedding", "embedding"),
+    ("stress_embedding", "embedding"),
+    ("encoder_layer", "encoder"),
+    ("decoder_layer_", None),  # refined below: attn vs ffn
+    ("mel_projection", "decoder_io"),
+    ("decoder_norm", "decoder_io"),
+)
+
+
+def classify_param(name: str) -> str:
+    low = name.lower()
+    if "decoder_layer" in low:
+        if "attn" in low or "attention" in low:
+            return "decoder_attn"
+        if "linear" in low or "ff" in low or "glu" in low:
+            return "decoder_ffn"
+        return "decoder_other"
+    for needle, group in _GROUP_RULES:
+        if group and needle in low:
+            return group
+    return "other"
+
+
+_CACHE_VERSION = 2
 
 
 def _load_stats_cache(model_dir: Path) -> dict:
@@ -119,81 +163,172 @@ def _checkpoint_mtime(ck: Path) -> float:
                default=ck.stat().st_mtime)
 
 
+def _read_counters(ck: Path) -> dict:
+    try:
+        doc = json.loads((ck / "metadata.json").read_text())
+        return doc.get("counters", {}) or {}
+    except Exception:
+        return {}
+
+
+def _compute_entry(ck: Path, prev_arrays, counters, prev_counters) -> tuple:
+    """(entry dict, params_arrays) — TRUE parameter-space forensics for one
+    checkpoint: per-param ||w||, ||Δw|| vs the previous checkpoint, per-group
+    delta attribution, delta velocity per optimizer step, and live-vs-EMA
+    divergence ||w - ema|| (reference compute_weight_stats :213-287)."""
+    state = load_checkpoint_params(ck)
+    arrays = flatten_arrays(state["params"])
+    ema_arrays = flatten_arrays(state.get("ema_params") or {})
+    total_norm_sq = 0.0
+    delta_norm_sq = 0.0
+    ema_div_sq = 0.0
+    nonfinite = 0
+    deltas = {}
+    group_deltas = defaultdict(float)
+    for name, arr in arrays.items():
+        total_norm_sq += float(arr.astype(np.float64).ravel() @
+                               arr.astype(np.float64).ravel())
+        nonfinite += int((~np.isfinite(arr)).sum())
+        if prev_arrays is not None and name in prev_arrays:
+            d = float(np.linalg.norm(
+                arr.astype(np.float64) - prev_arrays[name].astype(np.float64)
+            ))
+            deltas[name] = d
+            delta_norm_sq += d * d
+            group_deltas[classify_param(name)] += d * d
+        if name in ema_arrays:
+            ema_div_sq += float(np.linalg.norm(
+                arr.astype(np.float64) - ema_arrays[name].astype(np.float64)
+            )) ** 2
+    movers = sorted(deltas.items(), key=lambda kv: -kv[1])[:8]
+    steps = counters.get("optimizer_step")
+    prev_steps = (prev_counters or {}).get("optimizer_step")
+    steps_in_window = (
+        steps - prev_steps
+        if isinstance(steps, int) and isinstance(prev_steps, int)
+        and steps > prev_steps else None
+    )
+    total_delta = float(np.sqrt(delta_norm_sq)) if deltas else None
+    entry = {
+        "name": ck.name,
+        "epoch": counters.get("epoch"),
+        "optimizer_step": steps,
+        "total_norm": round(float(np.sqrt(total_norm_sq)), 4),
+        "nonfinite_params": nonfinite,
+        "total_delta_norm": round(total_delta, 4) if total_delta else None,
+        "delta_velocity": (
+            round(total_delta / steps_in_window, 6)
+            if total_delta is not None and steps_in_window else None
+        ),
+        "ema_divergence_norm": (
+            round(float(np.sqrt(ema_div_sq)), 4) if ema_arrays else None
+        ),
+        "group_deltas": {
+            g: round(float(np.sqrt(v)), 4)
+            for g, v in sorted(group_deltas.items(), key=lambda kv: -kv[1])
+        },
+        "top_movers": [
+            {
+                "param": k,
+                "group": classify_param(k),
+                "delta": round(d, 4),
+            }
+            for k, d in movers
+        ],
+    }
+    return entry, arrays
+
+
 def analyze_checkpoints(model_dir: Path) -> dict:
+    """Per-checkpoint weight-delta tables across ALL checkpoints with
+    top-mover attribution, rank-stability Jaccard between consecutive top-N
+    mover sets, and persistent-mover counts (reference compute_weight_stats +
+    compute_rank_stability + print_persistent_movers :213-400).  An
+    mtime+prev-keyed cache skips unchanged (checkpoint, predecessor) pairs —
+    repeat runs over a finished training land zero tensor loads."""
     ckpts = sorted(
         model_dir.glob("checkpoint_epoch_*"),
         key=lambda p: int(p.name.rsplit("_", 1)[1]),
     )
-    report = {"checkpoints": [], "top_movers": [], "ema_divergence": None}
+    report = {
+        "checkpoints": [], "persistent_movers": [], "ema_divergence": None,
+    }
     cache = _load_stats_cache(model_dir)
     cache_out = {}
-    prev_norms = None
-    for ck in ckpts:
+    prev_loaded = None          # (name, arrays) rolled forward on misses
+    prev_counters = None
+    prev_top: set | None = None
+    persistent = defaultdict(int)
+    for i, ck in enumerate(ckpts):
         mtime = _checkpoint_mtime(ck)
+        prev_name = ckpts[i - 1].name if i else None
+        counters = _read_counters(ck)
         cached = cache.get(ck.name)
-        if cached and cached.get("mtime") == mtime:
-            norms = cached["norms"]
-            cache_out[ck.name] = cached
+        if (cached and cached.get("mtime") == mtime
+                and cached.get("prev") == prev_name):
             entry = dict(cached["entry"])
-            if prev_norms is not None:
-                deltas = {
-                    k: abs(norms[k]["norm"] - prev_norms[k]["norm"])
-                    for k in norms if k in prev_norms
-                }
-                movers = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
-                entry["top_movers"] = [
-                    {"param": k, "delta": round(d, 4)} for k, d in movers
-                ]
-            report["checkpoints"].append(entry)
-            prev_norms = norms
-            continue
-        try:
-            state = load_checkpoint_params(ck)
-        except Exception as err:
-            report["checkpoints"].append({"name": ck.name, "error": str(err)})
-            continue
-        norms = flatten_norms(state["params"])
-        n_nonfinite = sum(v["nonfinite"] for v in norms.values())
-        entry = {
-            "name": ck.name,
-            "total_norm": float(
-                np.sqrt(sum(v["norm"] ** 2 for v in norms.values()))
-            ),
-            "nonfinite_params": n_nonfinite,
-        }
-        cache_out[ck.name] = {"mtime": mtime, "norms": norms, "entry": dict(entry)}
-        if prev_norms is not None:
-            deltas = {
-                k: abs(norms[k]["norm"] - prev_norms[k]["norm"])
-                for k in norms
-                if k in prev_norms
+            cache_out[ck.name] = cached
+            prev_loaded = None  # arrays unavailable; a later miss reloads
+        else:
+            if prev_name and (prev_loaded is None
+                              or prev_loaded[0] != prev_name):
+                try:
+                    prev_state = load_checkpoint_params(ckpts[i - 1])
+                    prev_loaded = (
+                        prev_name, flatten_arrays(prev_state["params"])
+                    )
+                except Exception:
+                    prev_loaded = None
+            try:
+                entry, arrays = _compute_entry(
+                    ck,
+                    prev_loaded[1] if prev_loaded else None,
+                    counters, prev_counters,
+                )
+            except Exception as err:
+                report["checkpoints"].append(
+                    {"name": ck.name, "error": str(err)}
+                )
+                prev_loaded = None
+                prev_counters = counters
+                continue
+            prev_loaded = (ck.name, arrays)
+            cache_out[ck.name] = {
+                "mtime": mtime, "prev": prev_name, "entry": dict(entry),
             }
-            movers = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
-            entry["top_movers"] = [
-                {"param": k, "delta": round(d, 4)} for k, d in movers
-            ]
+        # rank stability: Jaccard of consecutive top-mover name sets
+        top = {m["param"] for m in entry.get("top_movers", [])}
+        for name in top:
+            persistent[name] += 1
+        if prev_top is not None and (prev_top or top):
+            entry["rank_stability_jaccard"] = round(
+                len(prev_top & top) / max(len(prev_top | top), 1), 3
+            )
+        prev_top = top
+        prev_counters = counters
         report["checkpoints"].append(entry)
-        prev_norms = norms
     if cache_out:
         _save_stats_cache(model_dir, cache_out)
 
-    # EMA divergence on the last checkpoint
-    if ckpts:
-        try:
-            state = load_checkpoint_params(ckpts[-1])
-            live = flatten_norms(state["params"])
-            ema = flatten_norms(state["ema_params"])
-            divergences = {
-                k: abs(live[k]["norm"] - ema[k]["norm"]) for k in live if k in ema
-            }
-            report["ema_divergence"] = {
-                "max": round(max(divergences.values(), default=0.0), 4),
-                "mean": round(float(np.mean(list(divergences.values()))), 6)
-                if divergences
-                else 0.0,
-            }
-        except Exception as err:
-            report["ema_divergence"] = {"error": str(err)}
+    n_delta_epochs = sum(
+        1 for c in report["checkpoints"] if c.get("total_delta_norm")
+    )
+    report["persistent_movers"] = [
+        {
+            "param": k, "group": classify_param(k), "epochs_in_top": v,
+            "of_epochs": n_delta_epochs,
+        }
+        for k, v in sorted(persistent.items(), key=lambda kv: -kv[1])[:10]
+        if v >= 2
+    ]
+
+    # EMA divergence summary = the last checkpoint's live-vs-EMA norm
+    last_ok = [c for c in report["checkpoints"] if "error" not in c]
+    if last_ok:
+        report["ema_divergence"] = {
+            "final_norm": last_ok[-1].get("ema_divergence_norm"),
+            "series": [c.get("ema_divergence_norm") for c in last_ok],
+        }
     return report
 
 
@@ -315,6 +450,34 @@ def analyze_stop_token(scalars: dict) -> dict:
                 "regression_epochs": regressions,
             }
     return report
+
+
+def attribute_burst_epochs(metric_report: dict, ck_report: dict) -> None:
+    """Map stop-loss burst STEPS to training EPOCHS using the checkpoints'
+    optimizer_step counters as epoch boundaries (reference
+    tb_print_stop_token_analysis epoch attribution, :899-970).  Mutates
+    metric_report['stop_token']['step'] with 'burst_epochs'."""
+    st = metric_report.get("stop_token", {}).get("step")
+    if not st or not st.get("burst_steps"):
+        return
+    boundaries = [
+        (c.get("epoch"), c.get("optimizer_step"))
+        for c in ck_report.get("checkpoints", [])
+        if isinstance(c.get("optimizer_step"), int)
+        and c.get("epoch") is not None
+    ]
+    if not boundaries:
+        return
+    boundaries.sort(key=lambda t: t[1])
+    per_epoch = defaultdict(int)
+    for step in st["burst_steps"]:
+        epoch = boundaries[-1][0] + 1  # after the last checkpointed epoch
+        for ep, end_step in boundaries:
+            if step <= end_step:
+                epoch = ep
+                break
+        per_epoch[epoch] += 1
+    st["burst_epochs"] = {int(k): v for k, v in sorted(per_epoch.items())}
 
 
 def analyze_mel_stop_correlation(scalars: dict, window: int = 200) -> list:
@@ -460,11 +623,36 @@ def build_checklist(ck_report: dict, metric_report: dict) -> list:
             "distorts gradient direction, config.py:247)",
         )
     ema = ck_report.get("ema_divergence")
-    if ema and "max" in ema:
+    if ema and ema.get("final_norm") is not None:
         check(
-            "EMA tracking", "PASS" if ema["max"] < 50 else "WARN",
-            f"max per-param norm divergence {ema['max']}",
+            "EMA tracking", "PASS" if ema["final_norm"] < 50 else "WARN",
+            f"final live-vs-EMA parameter-space distance {ema['final_norm']}",
         )
+    jac = [
+        c["rank_stability_jaccard"] for c in ck_report["checkpoints"]
+        if c.get("rank_stability_jaccard") is not None
+    ]
+    if jac:
+        mean_j = float(np.mean(jac))
+        movers = ck_report.get("persistent_movers", [])
+        if movers and mean_j >= 0.5:
+            detail = (
+                f"mean top-mover Jaccard {mean_j:.2f}; persistent: "
+                + ", ".join(
+                    f"{m['param'].split('/')[-2]}({m['epochs_in_top']}ep)"
+                    for m in movers[:3]
+                )
+                + " — the SAME layers dominate drift (reference "
+                "print_persistent_movers :390-400)"
+            )
+            status = "WARN"
+        else:
+            detail = (
+                f"mean top-mover Jaccard {mean_j:.2f} "
+                f"({len(movers)} persistent movers)"
+            )
+            status = "PASS"
+        check("mover rank stability", status, detail)
     st = metric_report.get("stop_token", {}).get("step")
     if st:
         status = "PASS" if st["late_bursts"] == 0 else "WARN"
@@ -557,6 +745,7 @@ def main() -> int:
 
     ck_report = analyze_checkpoints(model_dir)
     metric_report = analyze_metrics(load_scalars(model_dir / "logs"))
+    attribute_burst_epochs(metric_report, ck_report)
     checks = build_checklist(ck_report, metric_report)
     recs = recommendations(checks)
 
@@ -571,12 +760,37 @@ def main() -> int:
     print("TRAINING REGRESSION ANALYSIS")
     print("=" * 70)
     for c in ck_report["checkpoints"]:
+        if "error" in c:
+            print(f"  {c['name']}: ERROR {c['error']}")
+            continue
         movers = ", ".join(
-            f"{m['param'].split('/')[-2]}:{m['delta']}"
+            f"{m['param'].split('/')[-2]}[{m['group']}]:{m['delta']}"
             for m in c.get("top_movers", [])[:3]
         )
-        print(f"  {c['name']}: total_norm={c.get('total_norm', '?'):.2f} "
-              f"nonfinite={c.get('nonfinite_params', '?')} movers=[{movers}]")
+        delta = c.get("total_delta_norm")
+        vel = c.get("delta_velocity")
+        jac = c.get("rank_stability_jaccard")
+        print(
+            f"  {c['name']}: |w|={c.get('total_norm', '?')} "
+            f"|dw|={delta if delta is not None else '-'} "
+            f"vel={vel if vel is not None else '-'} "
+            f"|w-ema|={c.get('ema_divergence_norm', '-')} "
+            f"jaccard={jac if jac is not None else '-'} "
+            f"nonfinite={c.get('nonfinite_params', '?')}"
+        )
+        if movers:
+            print(f"      movers: {movers}")
+        gd = c.get("group_deltas")
+        if gd:
+            print("      group |dw|: "
+                  + "  ".join(f"{g}={v}" for g, v in list(gd.items())[:5]))
+    if ck_report.get("persistent_movers"):
+        print("  persistent movers (in top-8 across epochs):")
+        for m in ck_report["persistent_movers"]:
+            print(
+                f"    {m['param']} [{m['group']}]: "
+                f"{m['epochs_in_top']}/{m['of_epochs']} epochs"
+            )
     if ck_report.get("ema_divergence"):
         print(f"  EMA divergence: {ck_report['ema_divergence']}")
     print("-" * 70)

@@ -201,3 +201,54 @@ class TestCacheManagerCli:
         status = cache_status(str(tmp_path))
         assert status["exists"] is False  # directory removed entirely
         assert not cache_clear(str(tmp_path))  # idempotent: nothing left
+
+
+class TestHiFiGANNpzConfigRoundTrip:
+    """export_hifigan_npz(config=...) embeds the generator architecture;
+    VocoderManager must reconstruct a NON-universal_v1 generator from the
+    blob and vocode with it (the committed compact vocoder's load path)."""
+
+    def test_compact_config_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from kokoro_tpu.inference.vocoder import (
+            VocoderManager,
+            export_hifigan_npz,
+        )
+        from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+
+        cfg = HiFiGANConfig(
+            upsample_initial_channel=32,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        )
+        gen = HiFiGANGenerator(cfg)
+        params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))
+        path = tmp_path / "w.npz"
+        export_hifigan_npz(params, path, config=cfg)
+
+        vm = VocoderManager("hifigan", vocoder_path=str(path))
+        assert vm.vocoder_type == "hifigan"
+        assert vm.hifigan.config.upsample_initial_channel == 32
+        assert vm.hifigan.config.resblock_kernel_sizes == (3,)
+        wav = vm.mel_to_audio(jnp.zeros((8, 80)))
+        assert wav.shape == (8 * 256,)
+
+    def test_npz_without_config_defaults_to_v1(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from kokoro_tpu.inference.vocoder import (
+            VocoderManager,
+            export_hifigan_npz,
+        )
+        from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+
+        cfg = HiFiGANConfig()  # universal_v1
+        gen = HiFiGANGenerator(cfg)
+        params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)))
+        path = tmp_path / "v1.npz"
+        export_hifigan_npz(params, path)  # no config blob
+        vm = VocoderManager("hifigan", vocoder_path=str(path))
+        assert vm.hifigan.config.upsample_initial_channel == 512

@@ -115,3 +115,83 @@ class TestChecklistIntegration:
         slope, r2 = analyzer._linear_slope([1.0, 0.9, 0.8, 0.7])
         assert slope == pytest.approx(-0.1)
         assert r2 == pytest.approx(1.0)
+
+
+class TestCheckpointForensics:
+    """The round-4 deep-forensics surface: true parameter-space deltas,
+    group attribution, rank stability, persistent movers, burst->epoch
+    attribution (reference compute_weight_stats/compute_rank_stability/
+    print_persistent_movers :213-400)."""
+
+    def test_classify_param_groups(self):
+        cases = {
+            "params/decoder_layer_0/self_attn/w_q/kernel": "decoder_attn",
+            "params/decoder_layer_1/glu/linear1/kernel": "decoder_ffn",
+            "params/decoder_layer_2/norm1/scale": "decoder_other",
+            "params/encoder_layer_0/ffn/linear2/bias": "encoder",
+            "params/stop_token_predictor/kernel": "stop_head",
+            "params/pitch_embedding/embedding": "variance_embed",
+            "params/variance_adaptor/duration/conv1/kernel": "variance_pred",
+            "params/text_embedding/embedding": "embedding",
+            "params/mel_projection_out/kernel": "decoder_io",
+        }
+        for name, want in cases.items():
+            assert analyzer.classify_param(name) == want, name
+
+    def test_compute_entry_true_deltas(self, tmp_path, monkeypatch):
+        """||w - w_prev|| must be the norm of the DIFFERENCE: two tensors
+        with identical norms but different values still register a delta
+        (the old difference-of-norms metric reported 0 for them)."""
+        prev = {"params": {"layer": {"w": np.array([1.0, 0.0, 2.0])}},
+                "ema_params": {"layer": {"w": np.array([1.0, 0.0, 2.0])}}}
+        curr = {"params": {"layer": {"w": np.array([0.0, 1.0, 2.0])}},
+                "ema_params": {"layer": {"w": np.array([1.0, 0.0, 2.0])}}}
+        monkeypatch.setattr(
+            analyzer, "load_checkpoint_params", lambda ck: curr
+        )
+        entry, arrays = analyzer._compute_entry(
+            tmp_path, analyzer.flatten_arrays(prev["params"]),
+            {"epoch": 3, "optimizer_step": 40},
+            {"epoch": 2, "optimizer_step": 30},
+        )
+        assert entry["total_delta_norm"] == pytest.approx(np.sqrt(2), abs=1e-4)
+        assert entry["delta_velocity"] == pytest.approx(np.sqrt(2) / 10, abs=1e-4)
+        # curr live [0,1,2] vs curr EMA [1,0,2] -> distance sqrt(2)
+        assert entry["ema_divergence_norm"] == pytest.approx(
+            np.sqrt(2), abs=1e-4
+        )
+        assert entry["top_movers"][0]["delta"] == pytest.approx(
+            np.sqrt(2), abs=1e-4
+        )
+        assert "layer/w" in arrays
+
+    def test_burst_epoch_attribution(self):
+        metric_report = {
+            "stop_token": {"step": {"burst_steps": [5, 25, 26, 99]}}
+        }
+        ck_report = {"checkpoints": [
+            {"epoch": 0, "optimizer_step": 10},
+            {"epoch": 1, "optimizer_step": 20},
+            {"epoch": 2, "optimizer_step": 30},
+        ]}
+        analyzer.attribute_burst_epochs(metric_report, ck_report)
+        assert metric_report["stop_token"]["step"]["burst_epochs"] == {
+            0: 1, 2: 2, 3: 1,  # step 99 lands after the last boundary
+        }
+
+    def test_rank_stability_checklist(self):
+        ck_report = {
+            "checkpoints": [
+                {"rank_stability_jaccard": 0.9},
+                {"rank_stability_jaccard": 0.8},
+            ],
+            "persistent_movers": [
+                {"param": "p/decoder_layer_0/glu/linear1/kernel",
+                 "group": "decoder_ffn", "epochs_in_top": 4, "of_epochs": 4},
+            ],
+            "ema_divergence": {"final_norm": 1.0},
+        }
+        checks = analyzer.build_checklist(ck_report, {})
+        rank = [c for c in checks if c["check"] == "mover rank stability"]
+        assert rank and rank[0]["status"] == "WARN"
+        assert "decoder_ffn" in rank[0]["detail"] or "linear1" in rank[0]["detail"]
