@@ -81,6 +81,21 @@ class KokoroTTS:
         self.min_len_floor = int(min_len_floor or 12)
         self.sample_rate = int(meta.get("sample_rate", 22050))
 
+        if vocoder_type == "hifigan" and vocoder_path is None:
+            # conventional weight locations, searched in order — the egress-
+            # free analogue of the reference's vocoder_models/ auto-download
+            # dir (reference vocoder_manager.py:25-36): a vocoder shipped
+            # with the run, then a repo-level default (e.g. the committed
+            # compact generator docs/hifigan_compact.npz)
+            for cand in (
+                self.model_dir / "vocoder.npz",
+                Path(__file__).resolve().parents[2]
+                / "docs" / "hifigan_compact.npz",
+            ):
+                if cand.exists():
+                    vocoder_path = str(cand)
+                    logger.info("Using HiFi-GAN weights: %s", vocoder_path)
+                    break
         self.vocoder = VocoderManager(
             vocoder_type=vocoder_type,
             vocoder_path=vocoder_path,
