@@ -128,3 +128,8 @@ class TestInterbatchProfiler:
         prof = InterbatchProfiler()
         prof.end("never_started")
         assert prof.phases == {}
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

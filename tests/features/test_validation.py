@@ -108,3 +108,8 @@ class TestEarlyStopping:
         assert calls["val"] == 3
         assert result["best_val_loss"] == pytest.approx(0.8)
         assert trainer.epochs_without_improvement == 0
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

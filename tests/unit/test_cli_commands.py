@@ -135,3 +135,8 @@ class TestInferCli:
 
         rc = main(["--model", str(tmp_path / "nope"), "--text", "привет"])
         assert rc != 0
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -232,3 +232,8 @@ class TestInterfaceContracts:
         for k in self.METRIC_KEYS:
             assert np.asarray(metrics[k]).shape == (), k
             assert np.isfinite(float(metrics[k])), k
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

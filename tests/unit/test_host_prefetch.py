@@ -386,3 +386,8 @@ class TestPrefetchParity:
             jax.tree_util.tree_leaves(p_sync), jax.tree_util.tree_leaves(p_pool)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -249,3 +249,8 @@ class TestPlanCLI:
         assert doc["hbm_bytes"] == 8 * GIB
         assert len(doc["buckets"]) >= 1
         assert "batch_size" in doc["recommendation"]
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

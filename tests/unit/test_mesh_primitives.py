@@ -96,3 +96,7 @@ class TestRoundUp:
 
     def test_zero_multiple_guard(self):
         assert round_up_to_multiple(5, 0) == 5  # clamps to 1
+
+# exercises the 8-device virtual mesh (fast enough for the fast slice)
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.multidevice]

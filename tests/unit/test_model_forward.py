@@ -213,3 +213,8 @@ class TestGLUFeedForward:
         assert out.shape == (2, 5, 16)
         k1 = params["params"]["linear1"]["kernel"]
         assert k1.shape == (16, 64)  # 2x expansion for gate+linear split
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -96,3 +96,8 @@ class TestTagFamilies:
                     "spectrogram/train_predicted",
                     "spectrogram/train_ground_truth"):
             assert tag in images, f"{tag} missing from {sorted(images)}"
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -351,3 +351,8 @@ class TestBubbleSafety:
             lambda p: jnp.mean(sequential_apply(layer_fn, p, mbs) ** 2)
         )(stacked)
         assert_grads_match(g_pp, g_seq)
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow, _pytest_mark.mark.multidevice]

@@ -107,3 +107,8 @@ class TestPPTrainer:
         with pytest.raises(ValueError, match="'data' only"):
             _cfg(corpus, tmp_path / "bad3", (2, 2, 2),
                  ("data", "seq", "stage"))
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow, _pytest_mark.mark.multidevice]

@@ -655,3 +655,8 @@ class TestSilPathContracts:
         seq = tu.flatten_with_sil(proc.process_text("раз, два."), vocab)
         idx = tu.phonemes_to_indices(seq, vocab)
         assert vocab["<comma>"] in idx and vocab["<period>"] in idx
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -366,3 +366,8 @@ class TestSpecAugment:
         assert [gate(e) for e in range(4)] == [False, False, True, True]
         cfg.use_spec_augment = False
         assert not any(gate(e) for e in range(100))
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

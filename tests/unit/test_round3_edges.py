@@ -332,3 +332,8 @@ class TestEvalMetricContract:
         for key in ("total", "mel", "spectral_convergence", "f0_rmse", "mcd"):
             assert key in metrics, key
             assert np.isfinite(float(metrics[key])), key
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

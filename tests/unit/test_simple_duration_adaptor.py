@@ -181,3 +181,8 @@ class TestModelLevelFallback:
         cfg = get_smoke_test_config(use_variance_predictor=False)
         meta = build_model_metadata(cfg, vocab_size=32)
         assert meta["use_variance_predictor"] is False
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

@@ -343,3 +343,8 @@ class TestStopHeadLrIsolation:
                 assert norm > 0, f"stop head got no gradient: {name}"
             else:
                 assert norm == 0.0, f"stop loss leaked into {name}: {norm}"
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow]

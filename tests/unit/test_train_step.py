@@ -293,3 +293,8 @@ class TestBatchTransferDtype:
         # float32 mode is a no-op passthrough
         t.config = get_smoke_test_config()
         assert t._cast_transfer(batch) is batch
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow, _pytest_mark.mark.multidevice]

@@ -82,3 +82,8 @@ class TestSmokeTrain:
         trainer_bad = KokoroTrainer(cfg_bad)
         with pytest.raises(ValueError, match="architecture mismatch"):
             trainer_bad._maybe_resume()
+
+# test-suite contract (docs/ROUND4_NOTES.md §3): wall time on the
+# 1-core CI host keeps this file out of the fast slice
+import pytest as _pytest_mark  # noqa: E402
+pytestmark = [_pytest_mark.mark.slow, _pytest_mark.mark.multidevice]
