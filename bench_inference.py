@@ -90,13 +90,21 @@ def main() -> None:
     _ = float(wav[0])
     vocoder_s = time.perf_counter() - t0
 
-    # HiFi-GAN V1 vocoder RTF (the BASELINE.md target).  Random weights: conv
-    # compute cost is weight-independent, so the RTF is representative.
+    # HiFi-GAN V1 vocoder RTF (the BASELINE.md target).  Real in-environment-
+    # trained weights when available (scripts/train_hifigan.py writes
+    # /tmp/hifigan_v1.npz); conv compute cost is weight-independent, so a
+    # random-weight fallback still yields a representative RTF.
     from kokoro_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
 
     hifi = HiFiGANGenerator(HiFiGANConfig(), dtype=jnp.bfloat16)
     mel_in = mel[0, :n_frames][None]  # (1, T, n_mels)
-    hifi_params = hifi.init(jax.random.PRNGKey(1), mel_in)
+    v1_weights = Path("/tmp/hifigan_v1.npz")
+    if v1_weights.exists():
+        from kokoro_tpu.inference.vocoder import load_hifigan_npz
+
+        hifi_params, _ = load_hifigan_npz(v1_weights)
+    else:
+        hifi_params = hifi.init(jax.random.PRNGKey(1), mel_in)
     hifi_fn = jax.jit(lambda m: hifi.apply(hifi_params, m))
     wav_h = hifi_fn(mel_in)
     _ = float(wav_h[0, 0])

@@ -81,35 +81,10 @@ class VocoderManager:
             logger.error("HiFi-GAN weights not found: %s", path)
             return None
         if path.suffix == ".npz":
-            with np.load(path, allow_pickle=True) as z:
-                flat = {k: z[k] for k in z.files}
-            # optional embedded generator config (export_hifigan_npz): lets a
-            # compact in-environment-trained generator load with its own
-            # architecture instead of assuming universal_v1 dims
-            cfg_blob = flat.pop("__config__", None)
-            if cfg_blob is not None:
-                import json
-
-                cfg = json.loads(bytes(cfg_blob).decode("utf-8"))
-                self._hifigan_config = HiFiGANConfig(
-                    num_mels=cfg["num_mels"],
-                    upsample_initial_channel=cfg["upsample_initial_channel"],
-                    upsample_rates=tuple(cfg["upsample_rates"]),
-                    upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
-                    resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
-                    resblock_dilation_sizes=tuple(
-                        tuple(d) for d in cfg["resblock_dilation_sizes"]
-                    ),
-                    sampling_rate=cfg.get("sampling_rate", self.sample_rate),
-                )
-            params: dict = {}
-            for k, v in flat.items():
-                node = params
-                *parents, leaf = k.split("/")
-                for p in parents:
-                    node = node.setdefault(p, {})
-                node[leaf] = jnp.asarray(v)
-            return {"params": params}
+            params, cfg = load_hifigan_npz(path)
+            if cfg is not None:
+                self._hifigan_config = cfg
+            return params
         # torch checkpoint (.pth / .pt / generator file)
         try:
             import torch
@@ -171,6 +146,40 @@ class VocoderManager:
                 f_max=self.audio["f_max"],
             )))
         return np.asarray(self._gl_batch(jnp.asarray(log_mels)))
+
+
+def load_hifigan_npz(path: str | Path):
+    """(flax params pytree, HiFiGANConfig | None) from an exported .npz.
+
+    A ``__config__`` JSON blob (export_hifigan_npz) carries non-universal_v1
+    architectures; without it the caller assumes universal_v1 dims."""
+    import json
+
+    with np.load(Path(path), allow_pickle=True) as z:
+        flat = {k: z[k] for k in z.files}
+    config = None
+    cfg_blob = flat.pop("__config__", None)
+    if cfg_blob is not None:
+        cfg = json.loads(bytes(cfg_blob).decode("utf-8"))
+        config = HiFiGANConfig(
+            num_mels=cfg["num_mels"],
+            upsample_initial_channel=cfg["upsample_initial_channel"],
+            upsample_rates=tuple(cfg["upsample_rates"]),
+            upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
+            resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in cfg["resblock_dilation_sizes"]
+            ),
+            sampling_rate=cfg.get("sampling_rate", 22050),
+        )
+    params: dict = {}
+    for k, v in flat.items():
+        node = params
+        *parents, leaf = k.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(v)
+    return {"params": params}, config
 
 
 def export_hifigan_npz(
