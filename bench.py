@@ -124,16 +124,22 @@ def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
         save_every=10**9,
         log_every_steps=10**9,
         warmup_steps=10,
-        # SIX mel buckets (two per duration cluster) + bucket-first packing:
-        # measured padding efficiency 0.815 (3 buckets, quantile packing) ->
-        # 0.898 on this distribution.  Cluster word counts still pin each mel
-        # bucket to one phoneme bucket, so the epoch needs 6 step shapes
-        # (x {scan_k, 1} programs), all cached persistently in /tmp/jax_cache
+        # NINE mel buckets (three per duration cluster) + bucket-first
+        # packing + 8-row batch quantum at max_batch_size 32: measured
+        # padding efficiency 0.815 (r3: 3 buckets, quantile, B16) -> 0.898
+        # (r4 run A: 6 buckets, bucket-first, B16) -> 0.933 simulated here,
+        # AND the bigger rows lift the kernel rate itself (B32xT512 138.0k
+        # vs B16xT512 132.8k padded frames/s, scripts/bench_step_shapes.py
+        # --short).  scan_steps=2 halves the ragged single-step tails of
+        # shape-major runs (15 batches/epoch in ~8 shapes).  Cluster word
+        # counts still pin each mel bucket to one phoneme bucket; all
+        # programs cache persistently in /tmp/jax_cache.
         max_seq_length=896,
-        mel_bucket_sizes=(288, 320, 448, 512, 800, 896),
+        mel_bucket_sizes=(256, 288, 320, 432, 464, 512, 784, 848, 896),
         phoneme_bucket_sizes=(64, 96, 160),
+        max_batch_size=32,
         histogram_every_steps=0,
-        scan_steps=4,
+        scan_steps=2,
         # preset already sets: shape_major order, carry_tail, B multiple 16,
         # bf16 transfer, host prefetch depth 2
     )
@@ -215,8 +221,12 @@ def main() -> None:
     )
 
     config = get_high_performance_config()
-    B, L, T, M = 16, 128, 896, config.n_mels
-    K = config.scan_steps
+    # B32 x T512 is the measured-best MXU shape for the flagship step
+    # (scripts/bench_step_shapes.py --short, r4: 138.0k padded frames/s vs
+    # 115.0k at the old B16 x T896); K=4 matches the sweep's program so the
+    # persistent cache can hit
+    B, L, T, M = 32, 96, 512, config.n_mels
+    K = 4
     VOCAB = 128
 
     model = KokoroModel(

@@ -245,6 +245,15 @@ class TrainingConfig:
     # TPU preset carries; sorted bucket order keeps carried items
     # length-adjacent, so mel padding barely grows.
     carry_tail: bool = False
+    # Cross-epoch prefetch: after dispatching epoch N's last chunk, start
+    # STAGING (assembly + cast + device_put) epoch N+1's first chunks so the
+    # end-of-epoch metric drain / validation / checkpointing overlap host
+    # prefetch instead of serializing ahead of the next epoch's first
+    # dispatch.  Packing and the assembly RNG are pure functions of the epoch
+    # number, so numerics are unchanged (tests/unit/test_host_prefetch.py).
+    # Needs host_prefetch_depth > 0; auto-disabled under interbatch profiling
+    # (phase attribution would cross epochs).
+    cross_epoch_prefetch: bool = False
     # Packing mode: "quantile" = reference sqrt(N)-quantile buckets + greedy
     # frame-budget packing (reference dataset.py:951-1010); "bucket" = items
     # grouped by their OWN padded mel bucket before packing, so no batch ever
@@ -447,7 +456,8 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         batch_order="shape_major",
         carry_tail=True,
         pack_mode="bucket",
-        batch_size_multiple=16,
+        batch_size_multiple=8,
+        cross_epoch_prefetch=True,
         async_checkpointing=True,
         # one-ish drain per epoch at bench scale; keeps e2e throughput
         # latency-insensitive on tunneled/DCN transports

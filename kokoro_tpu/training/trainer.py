@@ -65,6 +65,52 @@ from kokoro_tpu.training.train_step import (
 logger = logging.getLogger(__name__)
 
 
+class _EagerStaged:
+    """Adapter that STARTS a lazy prefetch generator immediately.
+
+    ``_prefetch_to_device`` is a generator — its feeder thread only spawns on
+    the first ``next()``.  Cross-epoch prefetch needs the pipeline filling
+    while the caller is still draining the previous epoch, so a primer thread
+    takes the first item now (never blocking the caller); iteration later
+    yields that item then delegates.  ``cancel()`` closes the underlying
+    generator (stopping its feeder/pool) without consuming it."""
+
+    def __init__(self, gen):
+        import threading
+
+        self._gen = gen
+        self._first = None
+        self._ready = threading.Event()
+        self._primer = threading.Thread(
+            target=self._prime, name="kokoro-prewarm-primer", daemon=True
+        )
+        self._primer.start()
+
+    def _prime(self):
+        try:
+            self._first = ("item", next(self._gen))
+        except StopIteration:
+            self._first = ("stop", None)
+        except BaseException as err:  # re-raised at iteration time
+            self._first = ("err", err)
+        finally:
+            self._ready.set()
+
+    def __iter__(self):
+        self._ready.wait()
+        kind, val = self._first
+        if kind == "err":
+            raise val
+        if kind == "stop":
+            return
+        yield val
+        yield from self._gen
+
+    def cancel(self):
+        self._ready.wait()
+        self._gen.close()
+
+
 class _JsonlWriter:
     """Fallback metric writer when tensorboard is unavailable."""
 
@@ -498,6 +544,8 @@ class KokoroTrainer:
                 )
             self._report_cache_stats()
 
+        # early stopping can leave a cross-epoch-prefetched pipeline running
+        self._cancel_prewarmed()
         self.ckpt.save_final_model(
             self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
         )
@@ -548,10 +596,6 @@ class KokoroTrainer:
         spec_augment_on = (
             cfg.use_spec_augment and (epoch + 1) >= cfg.spec_augment_start_epoch
         )
-        batches = self.batcher.build_batches(epoch)
-        rng = np.random.default_rng(cfg.seed + epoch)
-        accum = max(1, cfg.gradient_accumulation_steps)
-        scan_k = max(1, cfg.scan_steps)
         self._epoch_sums: Dict[str, float] = {}
         self._epoch_steps = 0
         self._metric_queue: List = []
@@ -578,18 +622,37 @@ class KokoroTrainer:
         # cast and the device_put) runs on a background thread, double-
         # buffered ahead of device compute (VERDICT r2 #1 — the TPU-native
         # replacement for the reference DataLoader's num_workers).
-        stream = self._chunk_stream(batches, rng, accum, scan_k)
-        depth = max(0, int(getattr(cfg, "host_prefetch_depth", 0)))
-        if depth > 0:
-            staged = self._prefetch_to_device(stream, depth)
-        else:
-            staged = (
-                (put_batch(self._cast_transfer(b), self.mesh), b, k)
-                for b, k in stream
-            )
+        staged = None
+        pre = getattr(self, "_prewarmed", None)
+        if pre is not None:
+            if pre[0] == epoch:
+                self._prewarmed = None
+                staged = pre[1]
+            else:  # resumed/re-driven out of order: discard cleanly
+                self._cancel_prewarmed()
+        if staged is None:
+            staged = self._build_staged(epoch)
         for device_batch, host_batch, chunk_k in staged:
             self._dispatch_chunk(
                 device_batch, host_batch, chunk_k, spec_augment_on
+            )
+
+        # Cross-epoch prefetch: start STAGING (assembly + cast + device_put)
+        # of epoch N+1's first chunks now, so the pipeline-fill latency and
+        # the end-of-epoch metric drain / validation below overlap with host
+        # prefetch instead of serializing ahead of the next epoch's first
+        # dispatch.  Packing and the assembly RNG are pure functions of the
+        # epoch number, so staging early changes no numerics.  Off when
+        # interbatch profiling is on (assembly time would be attributed to
+        # the wrong epoch's profiler).
+        if (
+            cfg.cross_epoch_prefetch
+            and not cfg.enable_interbatch_profiling
+            and epoch + 1 < cfg.num_epochs
+            and max(0, int(getattr(cfg, "host_prefetch_depth", 0))) > 0
+        ):
+            self._prewarmed = (
+                epoch + 1, self._build_staged(epoch + 1, eager=True)
             )
 
         self._drain_metrics()
@@ -605,6 +668,43 @@ class KokoroTrainer:
         return {
             k: v / max(n_steps, 1) for k, v in self._epoch_sums.items()
         }
+
+    def _build_staged(self, epoch: int, eager: bool = False):
+        """The whole host pipeline for one epoch as an iterator of
+        ``(device_batch, host_batch, chunk_k)``: packing → accumulation
+        grouping → assembly → scan stacking → cast+put (threaded when
+        ``host_prefetch_depth > 0``).  Packing and the assembly RNG are pure
+        functions of ``epoch``, so a pipeline built EARLY (``eager=True``,
+        cross-epoch prefetch) stages exactly what the synchronous build
+        would."""
+        cfg = self.config
+        batches = self.batcher.build_batches(epoch)
+        rng = np.random.default_rng(cfg.seed + epoch)
+        accum = max(1, cfg.gradient_accumulation_steps)
+        scan_k = max(1, cfg.scan_steps)
+        stream = self._chunk_stream(batches, rng, accum, scan_k)
+        depth = max(0, int(getattr(cfg, "host_prefetch_depth", 0)))
+        if depth > 0:
+            gen = self._prefetch_to_device(stream, depth)
+            return _EagerStaged(gen) if eager else gen
+        return (
+            (put_batch(self._cast_transfer(b), self.mesh), b, k)
+            for b, k in stream
+        )
+
+    def _cancel_prewarmed(self) -> None:
+        """Stop and discard a cross-epoch-prefetched pipeline (early stopping,
+        out-of-order epoch driving, end of training)."""
+        pre = getattr(self, "_prewarmed", None)
+        self._prewarmed = None
+        if pre is None:
+            return
+        staged = pre[1]
+        cancel = getattr(staged, "cancel", None)
+        if cancel is not None:
+            cancel()
+        elif hasattr(staged, "close"):
+            staged.close()
 
     def _chunk_stream(self, batches, rng, accum: int, scan_k: int):
         """Yield ``(host_batch, chunk_k)`` dispatch chunks for one epoch.

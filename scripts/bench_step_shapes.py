@@ -32,6 +32,16 @@ CONFIGS = [
     (64, 192, 1280),
 ]
 
+# short-bucket utilization probe (round 4): the e2e bench mix is dominated
+# by T 288-512 steps at B=16 (4.6k-8.2k padded frames per step vs 14.3k at
+# B16xT896) — is the short-T padded rate B-bound?
+CONFIGS_SHORT = [
+    (16, 64, 288),
+    (48, 64, 288),
+    (16, 96, 512),
+    (32, 96, 512),
+]
+
 
 def main() -> None:
     import jax
@@ -76,9 +86,10 @@ def main() -> None:
     )
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    configs = CONFIGS_SHORT if "--short" in sys.argv else CONFIGS
     results = []
     params = None
-    for B, L, T in CONFIGS:
+    for B, L, T in configs:
         rng = np.random.default_rng(0)
         batch = {
             "phoneme_indices": jnp.asarray(

@@ -391,3 +391,132 @@ class TestPrefetchParity:
 # 1-core CI host keeps this file out of the fast slice
 import pytest as _pytest_mark  # noqa: E402
 pytestmark = [_pytest_mark.mark.slow]
+
+
+class TestCrossEpochPrefetch:
+    """cross_epoch_prefetch stages epoch N+1's chunks while epoch N drains;
+    packing and assembly RNG are pure functions of epoch, so numerics MUST be
+    identical with the flag on or off."""
+
+    def test_two_epoch_numerics_parity(self, tmp_path):
+        corpus = _make_corpus(tmp_path / "corpus")
+
+        def run(flag, out):
+            cfg = get_smoke_test_config(
+                data_dir=str(corpus),
+                output_dir=str(tmp_path / out),
+                num_epochs=2,
+                batch_size=2,
+                validation_split=0.25,
+                use_speed_perturbation=False,
+                use_spec_augment=False,
+                compute_dtype="float32",
+                scan_steps=2,
+                host_prefetch_depth=2,
+                cross_epoch_prefetch=flag,
+                save_every=10**9,
+            )
+            tr = KokoroTrainer(cfg)
+            m0 = tr.train_epoch(0)
+            m1 = tr.train_epoch(1)
+            tr._cancel_prewarmed()
+            return (m0, m1), tr.state.params
+
+        (a0, a1), pa = run(True, "on")
+        (b0, b1), pb = run(False, "off")
+        for ma, mb in ((a0, b0), (a1, b1)):
+            for k in ma:
+                assert ma[k] == pytest.approx(mb[k], abs=1e-6), k
+        for x, y in zip(
+            jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)
+        ):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+    def test_prewarm_handoff_and_cleanup(self, tmp_path):
+        """train_epoch(N) leaves a prewarmed pipeline for N+1; consuming it
+        in train_epoch(N+1) clears it; _cancel_prewarmed stops a leftover
+        without consuming (no stuck feeder threads)."""
+        corpus = _make_corpus(tmp_path / "corpus")
+        cfg = get_smoke_test_config(
+            data_dir=str(corpus),
+            output_dir=str(tmp_path / "out"),
+            num_epochs=3,
+            batch_size=2,
+            validation_split=0.25,
+            use_speed_perturbation=False,
+            use_spec_augment=False,
+            compute_dtype="float32",
+            host_prefetch_depth=2,
+            cross_epoch_prefetch=True,
+            save_every=10**9,
+        )
+        tr = KokoroTrainer(cfg)
+        tr.train_epoch(0)
+        assert getattr(tr, "_prewarmed", None) is not None
+        assert tr._prewarmed[0] == 1
+        tr.train_epoch(1)  # consumes the prewarmed pipeline for epoch 1
+        assert tr._prewarmed is not None and tr._prewarmed[0] == 2
+        tr._cancel_prewarmed()
+        assert tr._prewarmed is None
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if not any(
+                th.name == "kokoro-host-prefetch"
+                for th in threading.enumerate()
+            ):
+                break
+            time.sleep(0.05)
+        assert not any(
+            th.name == "kokoro-host-prefetch" for th in threading.enumerate()
+        )
+
+    def test_eager_staged_starts_immediately(self, tmp_path):
+        """_EagerStaged must pull the first item WITHOUT the caller
+        iterating (that is its whole purpose)."""
+        from kokoro_tpu.training.trainer import _EagerStaged
+
+        produced = []
+
+        def gen():
+            for i in range(5):
+                produced.append(i)
+                yield i
+
+        es = _EagerStaged(gen())
+        deadline = time.time() + 5
+        while time.time() < deadline and not produced:
+            time.sleep(0.01)
+        assert produced, "primer thread never started the generator"
+        assert list(es) == [0, 1, 2, 3, 4]
+
+    def test_eager_staged_cancel_and_error(self):
+        from kokoro_tpu.training.trainer import _EagerStaged
+
+        def boom():
+            raise RuntimeError("first item exploded")
+            yield  # pragma: no cover
+
+        es = _EagerStaged(boom())
+        with pytest.raises(RuntimeError, match="first item exploded"):
+            list(es)
+
+        closed = []
+
+        def endless():
+            try:
+                i = 0
+                while True:
+                    yield i
+                    i += 1
+            finally:
+                closed.append(True)
+
+        es2 = _EagerStaged(endless())
+        es2.cancel()
+        assert closed == [True]
+
+    def test_preset_enables_it(self):
+        from kokoro_tpu.config import get_high_performance_config
+
+        cfg = get_high_performance_config()
+        assert cfg.cross_epoch_prefetch and cfg.host_prefetch_depth > 0
