@@ -127,17 +127,24 @@ def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
         # NINE mel buckets (three per duration cluster) + bucket-first
         # packing + 8-row batch quantum at max_batch_size 32: measured
         # padding efficiency 0.815 (r3: 3 buckets, quantile, B16) -> 0.898
-        # (r4 run A: 6 buckets, bucket-first, B16) -> 0.933 simulated here,
+        # (r4 run A: 6 buckets, bucket-first, B16) -> 0.93 simulated here,
         # AND the bigger rows lift the kernel rate itself (B32xT512 138.0k
         # vs B16xT512 132.8k padded frames/s, scripts/bench_step_shapes.py
         # --short).  scan_steps=2 halves the ragged single-step tails of
-        # shape-major runs (15 batches/epoch in ~8 shapes).  Cluster word
-        # counts still pin each mel bucket to one phoneme bucket; all
-        # programs cache persistently in /tmp/jax_cache.
+        # shape-major runs.  Cluster word counts still pin each mel bucket
+        # to one phoneme bucket; all programs cache persistently in
+        # /tmp/jax_cache.
+        #
+        # max_frames_per_batch=16384 is the HBM guard (r4 run B OOMed with
+        # the preset's 30000 budget admitting B32 x T896): with the
+        # quantized-row budget check it yields B32 for T<=512 buckets and
+        # B16 for T>=784 — every device shape is memory-proven (B32xT512 by
+        # the compute phase, B16xT896 by run A).
         max_seq_length=896,
         mel_bucket_sizes=(256, 288, 320, 432, 464, 512, 784, 848, 896),
         phoneme_bucket_sizes=(64, 96, 160),
         max_batch_size=32,
+        max_frames_per_batch=16384,
         histogram_every_steps=0,
         scan_steps=2,
         # preset already sets: shape_major order, carry_tail, B multiple 16,

@@ -34,6 +34,20 @@ def _bucket_up(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def effective_batch_quantum(
+    batch_size_multiple: Optional[int], max_batch_size: int, dp_size: int = 1
+) -> int:
+    """The multiple the padded batch dimension is rounded UP to at staging
+    time (trainer) — config quantum lcm'd with the data-parallel degree so
+    every shard stays equal-sized."""
+    q = (
+        int(batch_size_multiple)
+        if batch_size_multiple
+        else min(4, max(max_batch_size, 1))
+    )
+    return math.lcm(max(dp_size, 1), q)
+
+
 class FrameBudgetBatcher:
     """Greedy frame-budget packer with per-epoch shuffling and heavy-batch
     spreading (reference dataset.py:924-1143)."""
@@ -51,6 +65,7 @@ class FrameBudgetBatcher:
         phoneme_buckets: Optional[Sequence[int]] = None,
         carry_tail: bool = False,
         pack_mode: str = "quantile",
+        batch_quantum: int = 1,
     ):
         self.lengths = list(lengths)
         self.max_frames = max_frames_per_batch
@@ -83,7 +98,18 @@ class FrameBudgetBatcher:
                 f"pack_mode must be 'quantile' or 'bucket', got {pack_mode!r}"
             )
         self.pack_mode = pack_mode
+        # batch_quantum: the staging layer pads the batch dim UP to this
+        # multiple (fewer XLA programs; see trainer staging).  The budget
+        # check must therefore price a candidate batch at its QUANTIZED row
+        # count — the device cost — or the packer can emit e.g. 18 rows at
+        # T896 that stage as 24x896 and blow the frame budget it was meant
+        # to honor (the r4 bench OOM: 30000-frame budget admitted 32x896).
+        self.batch_quantum = max(1, int(batch_quantum))
         self.epoch = 0
+
+    def _quantized_rows(self, rows: int) -> int:
+        q = self.batch_quantum
+        return ((rows + q - 1) // q) * q
 
     def __iter__(self) -> Iterator[List[int]]:
         return iter(self.build_batches(self.epoch))
@@ -117,7 +143,8 @@ class FrameBudgetBatcher:
             for bucket_len, bucket in zip(sorted(groups), buckets):
                 for idx in bucket:
                     if current and (
-                        (len(current) + 1) * bucket_len > self.max_frames
+                        self._quantized_rows(len(current) + 1) * bucket_len
+                        > self.max_frames
                         or len(current) >= self.max_batch
                     ):
                         batches.append(current)
@@ -160,7 +187,7 @@ class FrameBudgetBatcher:
             for idx in bucket:
                 mel_len = self.lengths[idx][0]
                 new_max = max(current_max, mel_len)
-                cost = (len(current) + 1) * new_max
+                cost = self._quantized_rows(len(current) + 1) * new_max
                 if current and (
                     cost > self.max_frames or len(current) >= self.max_batch
                 ):

@@ -32,7 +32,12 @@ import jax
 import numpy as np
 
 from kokoro_tpu.config import TrainingConfig
-from kokoro_tpu.data.batching import FixedSizeBatcher, FrameBudgetBatcher, collate
+from kokoro_tpu.data.batching import (
+    FixedSizeBatcher,
+    FrameBudgetBatcher,
+    collate,
+    effective_batch_quantum,
+)
 from kokoro_tpu.data.dataset import RuslanDataset, train_val_split
 from kokoro_tpu.data.mfa import MFAIntegration
 from kokoro_tpu.data.phonemes import RussianPhonemeProcessor
@@ -356,6 +361,13 @@ class KokoroTrainer:
                 phoneme_buckets=cfg.phoneme_bucket_sizes,
                 carry_tail=getattr(cfg, "carry_tail", False),
                 pack_mode=getattr(cfg, "pack_mode", "quantile"),
+                # price candidate batches at their QUANTIZED row count — the
+                # shape the staging layer will actually dispatch
+                batch_quantum=effective_batch_quantum(
+                    getattr(cfg, "batch_size_multiple", None),
+                    cfg.max_batch_size,
+                    self.dp_size,
+                ),
             )
         else:
             self.batcher = FixedSizeBatcher(lengths, cfg.batch_size, seed=cfg.seed)
@@ -1073,14 +1085,11 @@ class KokoroTrainer:
         # fully masked, so rounding up only costs masked compute — it buys
         # far fewer compilations AND longer same-shape runs for the
         # scan_steps stacker.
-        import math as _math
-
-        quantum = (
-            int(cfg.batch_size_multiple)
-            if getattr(cfg, "batch_size_multiple", None)
-            else min(4, max(cfg.max_batch_size, 1))
+        b_quantum = effective_batch_quantum(
+            getattr(cfg, "batch_size_multiple", None),
+            cfg.max_batch_size,
+            self.dp_size,
         )
-        b_quantum = _math.lcm(self.dp_size, quantum)
         out_B = round_up_to_multiple(max(len(g) for g in group), b_quantum)
         forced_T = forced_L = None
         if self.process_count > 1:

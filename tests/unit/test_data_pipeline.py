@@ -218,6 +218,104 @@ class TestBucketFirstPacking:
         assert sorted(seen) == list(range(len(lengths)))
 
 
+class TestQuantizedBudget:
+    """The budget check prices a candidate batch at its QUANTIZED row count
+    (the staging layer pads the batch dim up to batch_quantum, so that is
+    what the device pays).  Guards the r4 bench OOM: a 30000-frame budget
+    admitted 32 rows at T896 because the raw-row check undercounted."""
+
+    MEL_BUCKETS = (256, 288, 320, 432, 464, 512, 784, 848, 896)
+    PH_BUCKETS = (64, 96, 160)
+
+    def _bench_lengths(self):
+        rng = np.random.default_rng(7)
+        clusters = [(224, 2.80, 3.55, 40), (160, 4.90, 5.80, 80),
+                    (96, 8.70, 10.10, 125)]
+        lengths = []
+        for count, lo, hi, ph in clusters:
+            for _ in range(count):
+                lengths.append((int(rng.uniform(lo, hi) * 22050 / 256), ph))
+        return lengths[: int(len(lengths) * 0.95)]
+
+    def _batcher(self, lengths, **kw):
+        base = dict(
+            max_frames_per_batch=16384, min_batch_size=4, max_batch_size=32,
+            batch_order="shape_major", mel_buckets=self.MEL_BUCKETS,
+            phoneme_buckets=self.PH_BUCKETS, carry_tail=True,
+            pack_mode="bucket", batch_quantum=8,
+        )
+        base.update(kw)
+        return FrameBudgetBatcher(lengths, **base)
+
+    def test_quantized_device_cost_within_budget(self):
+        """round_up(rows, 8) * bucket <= budget for every multi-item batch."""
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        for bt in b.build_batches(0):
+            mel, _ = b._padded_shape(bt)
+            rows = -(-len(bt) // 8) * 8
+            assert rows * mel <= 16384 or len(bt) == 1, (len(bt), rows, mel)
+
+    def test_big_buckets_capped_small_buckets_full(self):
+        """The bench HBM guard: T>=784 buckets stage at <=16 rows while
+        T<=512 buckets still reach the full 32 rows."""
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        saw_32_small = False
+        for bt in b.build_batches(0):
+            mel, _ = b._padded_shape(bt)
+            rows = -(-len(bt) // 8) * 8
+            if mel >= 784:
+                assert rows <= 16, f"B{rows}xT{mel} would OOM"
+            if mel <= 512 and rows == 32:
+                saw_32_small = True
+        assert saw_32_small, "no small bucket reached 32 rows"
+
+    def test_quantum_one_matches_raw_check(self):
+        """Default batch_quantum=1 keeps the historical packing exactly."""
+        lengths = self._bench_lengths()
+        a = self._batcher(lengths, batch_quantum=1)
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=16384, min_batch_size=4,
+            max_batch_size=32, batch_order="shape_major",
+            mel_buckets=self.MEL_BUCKETS, phoneme_buckets=self.PH_BUCKETS,
+            carry_tail=True, pack_mode="bucket",
+        )
+        assert a.build_batches(3) == b.build_batches(3)
+
+    def test_quantile_mode_also_quantized(self):
+        lengths = self._bench_lengths()
+        b = FrameBudgetBatcher(
+            lengths, max_frames_per_batch=8000, max_batch_size=32,
+            batch_quantum=8,
+        )
+        for bt in b.build_batches(0):
+            rows = -(-len(bt) // 8) * 8
+            assert rows * max(lengths[i][0] for i in bt) <= 8000 or len(bt) == 1
+
+    def test_efficiency_holds_with_hbm_guard(self):
+        """The B32-small / B16-big split keeps bench padding efficiency
+        >= 0.87 (guards BENCH_r04's padding_efficiency)."""
+        lengths = self._bench_lengths()
+        b = self._batcher(lengths)
+        true_f = sum(l[0] for l in lengths)
+        padded = 0
+        for bt in b.build_batches(0):
+            mel, _ = b._padded_shape(bt)
+            padded += (-(-len(bt) // 8) * 8) * mel
+        assert true_f / padded >= 0.87, f"efficiency {true_f / padded:.3f}"
+
+    def test_effective_batch_quantum(self):
+        from kokoro_tpu.data.batching import effective_batch_quantum
+
+        assert effective_batch_quantum(8, 32) == 8
+        assert effective_batch_quantum(8, 32, dp_size=2) == 8
+        assert effective_batch_quantum(8, 32, dp_size=3) == 24
+        assert effective_batch_quantum(None, 32) == 4      # min(4, max_batch)
+        assert effective_batch_quantum(None, 2) == 2
+        assert effective_batch_quantum(None, 2, dp_size=4) == 4
+
+
 class TestCarryTail:
     def _lengths(self, n=100, seed=0):
         rng = np.random.default_rng(seed)
