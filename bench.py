@@ -230,10 +230,13 @@ def main() -> None:
     config = get_high_performance_config()
     # B32 x T512 is the measured-best MXU shape for the flagship step
     # (scripts/bench_step_shapes.py --short, r4: 138.0k padded frames/s vs
-    # 115.0k at the old B16 x T896); K=4 matches the sweep's program so the
-    # persistent cache can hit
+    # 115.0k at the old B16 x T896).  K=16 amortizes the ~39 ms tunnel
+    # dispatch RTT to <3 ms/step: per-step DEVICE time is flat in K
+    # (109-115 ms from K=1 to K=16, scripts/profile_train_step.py), so the
+    # K sweep measures 137.2k (K=4) -> 141.3k (K=8) -> 146.6k (K=16)
+    # padded frames/s with 16 real optimizer steps per dispatch.
     B, L, T, M = 32, 96, 512, config.n_mels
-    K = 4
+    K = 16
     VOCAB = 128
 
     model = KokoroModel(
