@@ -181,6 +181,14 @@ def make_pp_loss_fn(
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(aux_t["seed"]), lp["idx"]
                 )
+                if batch_axis in mesh.axis_names:
+                    # layer_fn executes inside pipeline_apply's shard_map, so
+                    # each data shard folds its own axis index — without this,
+                    # every dp shard would draw the SAME dropout mask over its
+                    # local (B/dp, T, H) block (iid only WITHIN a shard).
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(batch_axis)
+                    )
                 rngs = {"dropout": key}
             y, _ = block.apply(
                 {"params": lp["p"]},

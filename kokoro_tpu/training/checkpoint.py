@@ -76,6 +76,13 @@ def build_model_metadata(
             "pct_start": config.pct_start,
             "max_lr_multiplier": config.max_lr_multiplier,
         },
+        # Train/val split membership contract.  "length-sorted-v2" = samples
+        # are length-sorted BEFORE split indices and val is the TAIL of the
+        # seed-42 permutation (the reference's semantics, adopted in the r4
+        # parity work).  Checkpoints without this tag predate the change:
+        # resuming them trains on former validation utterances, so their val
+        # curves are not comparable across the resume (warned at restore).
+        "split_semantics": "length-sorted-v2",
     }
     if extra:
         meta.update(extra)

@@ -157,6 +157,13 @@ def _make_writer(logdir: Path):
 class KokoroTrainer:
     def __init__(self, config: TrainingConfig):
         self.config = config
+        if config.compilation_cache_dir:
+            # one-time per MACHINE compiles: every later process loads the
+            # cached executables instead of paying 60-120 s per batch shape
+            jax.config.update(
+                "jax_compilation_cache_dir", str(config.compilation_cache_dir)
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
         self._setup_mesh()
         self.output_dir = Path(config.output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -275,6 +282,10 @@ class KokoroTrainer:
             self.tp_size = 1
             self.sp_size = 1
             self.pp_size = 1
+        # Effective scan length lives on the trainer, NOT written back into
+        # cfg: mutating the caller's config would silently change a config
+        # object reused for a second (non-PP) trainer or serialized later.
+        self._scan_steps = max(1, cfg.scan_steps)
         if self.pp_size > 1 and cfg.scan_steps > 1:
             # the pipelined step consumes the (A, B, ...) microbatch axis
             # whole; a further lax.scan stacking axis is not supported
@@ -282,7 +293,7 @@ class KokoroTrainer:
                 "scan_steps=%d ignored under pipeline parallelism",
                 cfg.scan_steps,
             )
-            cfg.scan_steps = 1
+            self._scan_steps = 1
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
         if (self.dp_size > 1 or self.tp_size > 1 or self.sp_size > 1
@@ -496,6 +507,22 @@ class KokoroTrainer:
         self.ckpt.save_phoneme_processor(self.phoneme_processor)
         self._maybe_resume()
 
+        try:
+            self._train_epochs(cfg)
+        finally:
+            # early stopping, normal completion, OR an exception escaping
+            # mid-training: the cross-epoch-prefetched pipeline's feeder /
+            # transfer threads (and their staged device buffers) must not
+            # outlive the loop
+            self._cancel_prewarmed()
+        self.ckpt.save_final_model(
+            self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
+        )
+        self.ckpt.wait_for_pending()
+        self.writer.flush()
+        return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
+
+    def _train_epochs(self, cfg) -> None:
         for epoch in range(self.start_epoch, cfg.num_epochs):
             t0 = time.time()
             if cfg.enable_profiling and epoch == cfg.profile_epoch_start:
@@ -555,15 +582,6 @@ class KokoroTrainer:
                     blocking=not cfg.async_checkpointing,
                 )
             self._report_cache_stats()
-
-        # early stopping can leave a cross-epoch-prefetched pipeline running
-        self._cancel_prewarmed()
-        self.ckpt.save_final_model(
-            self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
-        )
-        self.ckpt.wait_for_pending()
-        self.writer.flush()
-        return {"best_val_loss": self.best_val_loss, "best_val_epoch": self.best_val_epoch}
 
     def _get_train_step(self, spec_augment: bool, scan_steps: int = 1):
         """Jitted step-fn variants keyed by (SpecAugment gating, scan length).
@@ -693,7 +711,7 @@ class KokoroTrainer:
         batches = self.batcher.build_batches(epoch)
         rng = np.random.default_rng(cfg.seed + epoch)
         accum = max(1, cfg.gradient_accumulation_steps)
-        scan_k = max(1, cfg.scan_steps)
+        scan_k = self._scan_steps
         stream = self._chunk_stream(batches, rng, accum, scan_k)
         depth = max(0, int(getattr(cfg, "host_prefetch_depth", 0)))
         if depth > 0:
@@ -1254,6 +1272,15 @@ class KokoroTrainer:
             return
         self.state, doc = result
         self._replicate_state()
+        saved_split = doc.get("model_metadata", {}).get("split_semantics")
+        if saved_split != "length-sorted-v2":
+            logger.warning(
+                "Resuming a checkpoint saved before the length-sorted-v2 "
+                "train/val split change (saved tag: %s): train/val membership "
+                "differs from the run that produced it — some former "
+                "validation utterances are now in train, so val metrics are "
+                "not comparable across this resume.", saved_split,
+            )
         counters = doc.get("counters", {})
         self.start_epoch = int(counters.get("epoch", -1)) + 1
         self.best_val_loss = float(counters.get("best_val_loss", float("inf")))
