@@ -87,10 +87,13 @@ class KokoroTTS:
             # dir (reference vocoder_manager.py:25-36): a vocoder shipped
             # with the run, then a repo-level default (e.g. the committed
             # compact generator docs/hifigan_compact.npz)
+            repo_docs = Path(__file__).resolve().parents[2] / "docs"
             for cand in (
                 self.model_dir / "vocoder.npz",
-                Path(__file__).resolve().parents[2]
-                / "docs" / "hifigan_compact.npz",
+                # committed int8-quantized universal-V1 (mel-L1 0.401,
+                # docs/hifigan_v1_int8.json) beats the 0.9M compact (0.65)
+                repo_docs / "hifigan_v1_int8.npz",
+                repo_docs / "hifigan_compact.npz",
             ):
                 if cand.exists():
                     vocoder_path = str(cand)

@@ -125,11 +125,23 @@ class VocoderManager:
 
         The serving path's vocoder: a dispatch group's rows (padded to a
         common T) vocode together — HiFi-GAN is natively batched; Griffin-Lim
-        vmaps its phase-recovery loop.  One compiled program per (B, T)."""
+        vmaps its phase-recovery loop.  One compiled program per (B, T).
+
+        HiFi-GAN rows vocode in chunks of ``hifigan_batch_chunk`` (default 8):
+        the generator's late layers have 32/16 channels, which the TPU pads to
+        the 128-lane tile — a (32, 262k samples, 32ch) bf16 temp chain costs
+        20 GB padded HBM at 1024 input frames (measured compile OOM).  Chunks
+        bound the temp footprint B-independently; HiFi-GAN is compute-dense,
+        so chunking costs no measurable throughput."""
         if self.vocoder_type == "hifigan" and self.hifigan_params is not None:
-            return np.asarray(
-                self._hifigan_apply(self.hifigan_params, log_mels)
-            )
+            chunk = max(1, int(getattr(self, "hifigan_batch_chunk", 8)))
+            outs = [
+                np.asarray(
+                    self._hifigan_apply(self.hifigan_params, log_mels[i:i + chunk])
+                )
+                for i in range(0, log_mels.shape[0], chunk)
+            ]
+            return np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         if not hasattr(self, "_gl_batch"):
             from functools import partial
 
@@ -172,24 +184,40 @@ def load_hifigan_npz(path: str | Path):
             ),
             sampling_rate=cfg.get("sampling_rate", 22050),
         )
+    # int8-quantized leaves (export_hifigan_npz(quantize="int8")) carry a
+    # sibling '<key>::scale' per-output-channel f32 array; dequantize here so
+    # callers always see float32 params.
+    scales = {
+        k[: -len("::scale")]: flat.pop(k)
+        for k in [k for k in flat if k.endswith("::scale")]
+    }
     params: dict = {}
     for k, v in flat.items():
         node = params
         *parents, leaf = k.split("/")
         for p in parents:
             node = node.setdefault(p, {})
-        node[leaf] = jnp.asarray(v)
+        if k in scales:
+            v = v.astype(np.float32) * scales[k]
+        node[leaf] = jnp.asarray(v, dtype=jnp.float32)
     return {"params": params}, config
 
 
 def export_hifigan_npz(
-    params: dict, path: str | Path, config: Optional[HiFiGANConfig] = None
+    params: dict, path: str | Path, config: Optional[HiFiGANConfig] = None,
+    quantize: Optional[str] = None,
 ) -> None:
     """Flatten converted flax params to an .npz for torch-free loading.
 
     ``config`` (optional) embeds the generator architecture as a
     ``__config__`` JSON blob so non-universal_v1 generators (e.g. the compact
-    in-environment-trained vocoder, scripts/train_hifigan.py) round-trip."""
+    in-environment-trained vocoder, scripts/train_hifigan.py) round-trip.
+
+    ``quantize="int8"`` stores every >=2-D leaf (conv kernels) as symmetric
+    per-output-channel int8 with a sibling ``<key>::scale`` f32 array —
+    a 55 MB universal-V1 f32 file becomes ~14 MB (git-committable); biases
+    and norm scales stay f32.  ``load_hifigan_npz`` dequantizes on load, so
+    the quantization is invisible to every consumer."""
     import dataclasses
     import json
 
@@ -204,9 +232,20 @@ def export_hifigan_npz(
                 flat[key] = np.asarray(v)
 
     walk(params["params"], "")
+    if quantize == "int8":
+        for k, v in list(flat.items()):
+            if v.ndim < 2:
+                continue  # biases / norm params: tiny, keep f32
+            absmax = np.abs(v).max(axis=tuple(range(v.ndim - 1)), keepdims=True)
+            scale = (absmax / 127.0 + 1e-12).astype(np.float32)
+            flat[k] = np.clip(np.round(v / scale), -127, 127).astype(np.int8)
+            flat[f"{k}::scale"] = scale
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
     if config is not None:
         flat["__config__"] = np.frombuffer(
             json.dumps(dataclasses.asdict(config)).encode("utf-8"),
             dtype=np.uint8,
         )
-    np.savez(Path(path), **flat)
+    save = np.savez_compressed if quantize else np.savez
+    save(Path(path), **flat)
