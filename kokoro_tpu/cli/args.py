@@ -46,6 +46,12 @@ def add_training_arguments(parser: argparse.ArgumentParser) -> None:
         "faster (replaces the reference's --profile-amp; AMP does not exist "
         "on TPU)",
     )
+    g.add_argument(
+        "--compile-cache-dir", default=None, metavar="DIR",
+        help="persistent XLA compile cache (jax_compilation_cache_dir): "
+        "makes per-shape compiles one-time per machine instead of per "
+        "process (e.g. /tmp/jax_cache)",
+    )
     g.add_argument("--save-every", type=int, default=None)
     g.add_argument("--early-stopping-patience", type=int, default=None)
     g.add_argument("--verbose", action="store_true")
@@ -90,6 +96,7 @@ def create_config_from_args(args: argparse.Namespace) -> TrainingConfig:
         "compute_dtype": "compute_dtype",
         "save_every": "save_every",
         "early_stopping_patience": "early_stopping_patience",
+        "compile_cache_dir": "compilation_cache_dir",
     }
     for arg_name, cfg_name in mapping.items():
         value = getattr(args, arg_name, None)

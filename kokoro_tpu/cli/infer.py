@@ -41,6 +41,12 @@ def main(argv=None) -> int:
              "(one AR decode per phoneme-bucket group)",
     )
     parser.add_argument("--interactive", action="store_true")
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler device trace of the synthesis into DIR "
+        "(TensorBoard 'profile' plugin / Perfetto; reference "
+        "utils/profiling_tools.py:127 profile_model_inference)",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(
@@ -64,6 +70,23 @@ def main(argv=None) -> int:
         logging.error("Could not load model from %s: %s", args.model, err)
         return 1
 
+    if args.profile:
+        # device-trace the whole synthesis phase (AR decode + vocoder);
+        # one ctx around main's remainder keeps every mode (--text/--file/
+        # --interactive) covered without restructuring
+        import contextlib
+
+        from kokoro_tpu.utils.profiling import trace
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(trace(args.profile))
+            rc = _run_synthesis(args, parser, tts)
+        logging.info("device trace written to %s", args.profile)
+        return rc
+    return _run_synthesis(args, parser, tts)
+
+
+def _run_synthesis(args, parser, tts) -> int:
     if args.interactive:
         # REPL (reference inference.py:818-843)
         out_dir = Path(args.output_dir)

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
                         "shape pays the XLA decode compile)")
     parser.add_argument("--weights", choices=("auto", "ema", "model"),
                         default="auto", help="weight choice (matches kokoro-infer)")
+    parser.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="enable POST /profile {\"seconds\": s}: capture a jax.profiler "
+        "device trace of live serving into DIR",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -77,6 +82,7 @@ def main(argv=None) -> int:
     server = TTSServer(
         scheduler, sample_rate=tts.sample_rate, config=cfg,
         request_timeout_s=args.request_timeout_s,
+        profile_dir=args.profile_dir,
     ).start()
     logger.info(
         "kokoro-serve on http://%s:%d (max batch %d, delay %.0f ms)",

@@ -290,6 +290,11 @@ class TrainingConfig:
     # decouple logging cadence from transport latency at the cost of queued
     # host-batch references (~2.5 MB each) and later TensorBoard flushes.
     metric_drain_chunks: int = 4
+    # Persistent XLA compile cache directory (jax_compilation_cache_dir).
+    # Every distinct batch shape is one 60-120 s remote compile; the cache
+    # makes them one-time per MACHINE instead of per process (fresh-process
+    # warm epoch: executable loads only).  None = JAX default (off).
+    compilation_cache_dir: Optional[str] = None
     # pallas flash attention, auto-gated to CAUSAL self-attention >= 1024
     # frames (measured 2.4x vs einsum at T=1280; einsum fuses better below).
     # The kernel cannot apply attention-WEIGHT dropout;

@@ -344,7 +344,8 @@ def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
 
 
 class TTSServer:
-    """HTTP front end: POST /tts, GET /healthz, GET /stats."""
+    """HTTP front end: POST /tts, GET /healthz, GET /stats; with
+    ``profile_dir`` set, POST /profile captures an on-demand device trace."""
 
     def __init__(
         self,
@@ -355,11 +356,18 @@ class TTSServer:
         # pays the XLA decode compile (minutes on a remote-compile tunnel);
         # later requests reuse the cached executable
         request_timeout_s: float = 900.0,
+        # directory for on-demand jax.profiler traces (enables POST /profile
+        # {"seconds": s}: trace the next s seconds of live serving — decode
+        # dispatches, vocoder, host batching — then return; the serving-side
+        # analogue of reference utils/profiling_tools.py:127)
+        profile_dir: Optional[str] = None,
     ) -> None:
         self.scheduler = scheduler
         self.sample_rate = sample_rate
         self.config = config or scheduler.config
         self.request_timeout_s = request_timeout_s
+        self.profile_dir = profile_dir
+        self._profile_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -395,6 +403,9 @@ class TTSServer:
                         pass
 
             def _post(self):
+                if self.path == "/profile":
+                    self._profile()
+                    return
                 if self.path != "/tts":
                     self._json(404, {"error": "not found"})
                     return
@@ -430,6 +441,37 @@ class TTSServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _profile(self):
+                if not outer.profile_dir:
+                    self._json(403, {
+                        "error": "profiling disabled (start kokoro-serve "
+                        "with --profile-dir)"
+                    })
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    seconds = min(float(req.get("seconds", 5.0)), 120.0)
+                except ValueError as err:
+                    self._json(400, {"error": f"bad request: {err}"})
+                    return
+                if not outer._profile_lock.acquire(blocking=False):
+                    self._json(409, {"error": "a trace is already running"})
+                    return
+                try:
+                    import time as _time
+
+                    import jax
+
+                    jax.profiler.start_trace(outer.profile_dir)
+                    _time.sleep(seconds)  # live traffic runs under the trace
+                    jax.profiler.stop_trace()
+                finally:
+                    outer._profile_lock.release()
+                self._json(200, {
+                    "ok": True, "seconds": seconds, "dir": outer.profile_dir,
+                })
 
         self._httpd = ThreadingHTTPServer(
             (self.config.host, self.config.port), Handler
