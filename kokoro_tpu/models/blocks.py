@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from kokoro_tpu.models.positional import apply_rope
+from kokoro_tpu.ops.fused_attention import fused_attention, fused_supported
 
 Dtype = Any
 
@@ -44,6 +45,34 @@ _FLASH_MIN_LEN = 1024
 # Incremented at TRACE time whenever the flash branch is baked into a program
 # (observability for real runs; see quality_run --long).
 FLASH_TRACE_COUNT = 0
+
+# Incremented at TRACE time whenever the VMEM-resident fused-attention branch
+# (ops/fused_attention.py) is baked into a program.
+FUSED_TRACE_COUNT = 0
+# Test hook: lets the pinned-CPU unit tests drive the fused branch through the
+# pallas interpreter (deterministic path only — the interpreter has no TPU
+# PRNG, so dropout still falls back to einsum off-TPU).
+FUSED_ON_CPU_FOR_TESTS = False
+
+
+def _fused_enabled(
+    q_len: int, kv_len: int, head_dim: int, causal: bool, rate: float
+) -> bool:
+    """Gate for the single-tile VMEM fused attention kernel.
+
+    Device trace evidence (docs/trace_train_step_r5.json, B32xT512): ops
+    touching the (B, H, T, T) score tensors are ~33% of device step time —
+    the einsum path round-trips f32 logits + softmax weights + a bf16 copy
+    (+ a dropout mask when attention-weight dropout is on) through HBM and
+    re-reads them in backward.  For 128 <= T <= 896 the whole per-(batch,
+    head) problem fits in VMEM, so the fused kernel eliminates that traffic
+    entirely and draws the dropout mask from the in-kernel PRNG; >= 1024 the
+    blocked flash kernel (`_flash_supported`) takes over.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or (FUSED_ON_CPU_FOR_TESTS and rate == 0.0)):
+        return False
+    return fused_supported(q_len, kv_len, head_dim, causal)
 
 
 def _flash_supported(
@@ -263,6 +292,31 @@ class MultiHeadAttention(nn.Module):
                 q = apply_rope(q, pos[: q.shape[2]] if q_positions is None else pos)
                 k = apply_rope(k, jnp.arange(k.shape[2]))
             new_cache = None
+
+        attn_rate = 0.0 if deterministic else self.dropout
+        can_fused = (
+            self.use_flash
+            and kv_cache is None
+            and not self.use_alibi  # kernel has no bias input
+            and _fused_enabled(
+                q.shape[2], k.shape[2], head_dim, causal, attn_rate
+            )
+        )
+        if can_fused:
+            # Same suffix-padding invariant as the flash branch below: causal
+            # self-attention under right-padding needs no key mask at all.
+            global FUSED_TRACE_COUNT
+            FUSED_TRACE_COUNT += 1
+            out = fused_attention(
+                q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
+                scale=1.0 / float(head_dim) ** 0.5,
+                dropout_rate=attn_rate,
+                dropout_rng=(
+                    self.make_rng("dropout") if attn_rate > 0.0 else None
+                ),
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+            return self.w_o(out), new_cache
 
         can_flash = (
             self.use_flash

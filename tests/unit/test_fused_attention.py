@@ -1,0 +1,154 @@
+"""VMEM-resident fused attention (ops/fused_attention.py): interpret-mode
+numerics vs the einsum path, gating logic, and the in-model fallback contract.
+
+The pallas interpreter has no TPU PRNG, so the dropout path is asserted on
+real hardware by scripts/verify_attention_numerics.py (driver artifact
+docs/attention_numerics_tpu.json); here we pin the deterministic kernel and
+every gate that keeps the module safe off-TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kokoro_tpu.models.blocks as blocks
+from kokoro_tpu.models.blocks import MultiHeadAttention, _fused_enabled
+from kokoro_tpu.ops.fused_attention import (
+    MAX_FUSED_LEN,
+    fused_attention,
+    fused_supported,
+)
+
+
+def einsum_reference(q, k, v, scale):
+    """The einsum path's exact math (blocks.py): f32 logits, -1e9 causal
+    mask, f32 softmax, weights cast to input dtype before @V."""
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    T = q.shape[2]
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    logits = jnp.where(mask[None, None], logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+class TestGating:
+    def test_shape_rules(self):
+        assert fused_supported(512, 512, 64, True)
+        assert fused_supported(896, 896, 128, True)
+        assert not fused_supported(512, 512, 64, False)  # non-causal
+        assert not fused_supported(512, 384, 64, True)  # q != kv (cross)
+        assert not fused_supported(960, 960, 64, True)  # > MAX at 128-step? no:
+        # 960 % 128 != 0 — and anything above MAX_FUSED_LEN is flash territory
+        assert not fused_supported(MAX_FUSED_LEN + 128, MAX_FUSED_LEN + 128, 64, True)
+        assert not fused_supported(64, 64, 64, True)  # < MIN
+        assert not fused_supported(512, 512, 48, True)  # head_dim
+
+    def test_cpu_backend_disables_fused(self):
+        assert jax.default_backend() == "cpu"
+        assert not _fused_enabled(512, 512, 64, True, 0.0)
+
+    def test_cpu_test_hook_never_enables_dropout(self):
+        # interpreter has no TPU PRNG: rate > 0 must stay on einsum off-TPU
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            assert _fused_enabled(512, 512, 64, True, 0.0)
+            assert not _fused_enabled(512, 512, 64, True, 0.1)
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+
+
+class TestKernelNumerics:
+    @pytest.mark.parametrize("T,dh", [(128, 64), (256, 64), (128, 128)])
+    def test_forward_matches_einsum(self, T, dh):
+        rng = np.random.default_rng(0)
+        shape = (2, 2, T, dh)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        scale = 1.0 / dh**0.5
+        out = fused_attention(q, k, v, scale=scale)
+        ref = einsum_reference(q, k, v, scale)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gradients_match_einsum(self):
+        rng = np.random.default_rng(1)
+        shape = (1, 2, 128, 64)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        co = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        scale = 0.125
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, scale=scale) * co)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(einsum_reference(q, k, v, scale) * co)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=5e-5, atol=5e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_dropout_requires_rng(self):
+        q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+        with pytest.raises(ValueError, match="dropout_rng"):
+            fused_attention(q, q, q, scale=1.0, dropout_rate=0.1)
+
+
+class TestInModel:
+    def test_fused_branch_matches_einsum_module(self):
+        """MHA with the fused branch forced on (interpret mode) must equal the
+        plain einsum module bit-for-bit-ish at a fused-eligible shape."""
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 128, 64)), jnp.float32)
+        a_plain = MultiHeadAttention(64, 1, 0.0, use_rope=True, use_flash=False)
+        a_fused = MultiHeadAttention(64, 1, 0.0, use_rope=True, use_flash=True)
+        params = a_plain.init(jax.random.PRNGKey(0), x, causal=True)
+        o_plain, _ = a_plain.apply(params, x, causal=True)
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        count0 = blocks.FUSED_TRACE_COUNT
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            o_fused, _ = a_fused.apply(params, x, causal=True)
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+        assert blocks.FUSED_TRACE_COUNT == count0 + 1
+        np.testing.assert_allclose(
+            np.asarray(o_fused), np.asarray(o_plain), rtol=2e-5, atol=2e-5
+        )
+
+    def test_suffix_padding_valid_rows_identical(self):
+        """The invariant that lets the fused branch drop the key mask: valid
+        rows under causal suffix padding match the masked einsum path."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 128, 64)), jnp.float32)
+        attn = MultiHeadAttention(64, 1, 0.0, use_rope=True, use_flash=True)
+        params = attn.init(jax.random.PRNGKey(0), x, causal=True)
+        pad = jnp.asarray([[False] * 96 + [True] * 32])
+        masked_einsum, _ = attn.apply(
+            params, x, causal=True, key_padding_mask=pad
+        )
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            fused_nomask, _ = attn.apply(
+                params, x, causal=True, key_padding_mask=pad
+            )
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+        np.testing.assert_allclose(
+            np.asarray(fused_nomask)[0, :96],
+            np.asarray(masked_einsum)[0, :96],
+            rtol=2e-5, atol=2e-5,
+        )
