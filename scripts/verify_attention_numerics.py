@@ -11,12 +11,14 @@ Runs on the real TPU and asserts, against the einsum path's exact math:
   had only ever been asserted in interpret mode, never on the hardware that
   executes them;
 * fused in-kernel dropout semantics (TPU PRNG, no HBM mask traffic):
-  - observed keep rate (via a V=identity-columns probe that reads the first
-    Dh columns of the dropped weight matrix directly),
+  - observed keep rate over the full causal region (the dropped weight
+    matrix Pd is reconstructed exactly via shifted-identity V probes),
   - surviving weights scale exactly as p/keep vs the deterministic run,
-  - forward/backward draw the SAME mask: jax.grad at fixed seed matches
-    central finite differences in f32 (the backward recomputes the mask by
-    reseeding; a seed mismatch would show up as a gross FD error);
+  - forward/backward draw the SAME mask: Pd is independently reconstructed
+    from the BACKWARD kernel (grad wrt V with identity cotangents reads out
+    dV = Pd^T @ dO rows) and must match the forward reconstruction
+    bit-exactly — mask pattern and values; plus a grad-direction finite-
+    difference cross-check in true f32;
 * microbenchmark: fused vs einsum fwd+bwd wall time at the flagship shape,
   dropout on and off.
 
@@ -40,6 +42,15 @@ sys.path.insert(0, str(REPO))
 
 # bf16 has ~3 decimal digits; softmax + two matmuls at T<=1280 stay well
 # inside 2e-2 relative on honest kernels (measured headroom ~5x).
+#
+# f32 diagnostics run under jax.default_matmul_precision("highest"): at
+# DEFAULT precision the MXU executes f32 matmuls as bf16 multiply passes
+# (measured on v5e: kernel-vs-einsum fwd rel err 1.7e-5 at DEFAULT vs
+# 1.4e-7 at HIGHEST), so a true-f32 comparison — the point of the f32
+# cases, isolating kernel-math bugs from dtype rounding — needs HIGHEST.
+# The context manager propagates into pallas dot_generals, so both paths
+# are compared at the same (full) precision.  bf16 cases stay at the
+# production precision the training step actually uses.
 TOL = {"bf16_fwd": 2e-2, "bf16_grad": 3e-2, "f32_fwd": 2e-5, "f32_grad": 1e-4,
        "keep_rate_abs": 0.01, "scale_rel": 1e-3, "fd_rel": 2e-3}
 
@@ -127,8 +138,31 @@ def module_param_grads(T=512):
     return worst
 
 
-def dropout_semantics(T=512, dh=128, rate=0.1, seed=3):
-    """Direct observation of the in-kernel dropout via a V=I-columns probe."""
+def dropout_semantics(T=128, dh=64, rate=0.1, seed=3):
+    """Direct observation of the in-kernel dropout.
+
+    The dropped weight matrix Pd is reconstructed twice and compared:
+
+    * FORWARD: V = shifted-identity column blocks, so the kernel output
+      reads out Pd[:, j0:j0+dh] directly — T/dh probe calls give the full
+      (T, T) matrix the forward actually applied;
+    * BACKWARD: grad wrt V with the same shifted-identity cotangent — the
+      custom-VJP bwd kernel computes dV = Pd^T @ dO with ITS OWN reseeded
+      PRNG mask, so dv[..., k, j] == Pd_bwd[j0+j, k] reads out the rows
+      the backward actually used.
+
+    Bit-exact agreement of the two reconstructions (mask pattern AND kept
+    values) proves fwd and bwd draw the same mask on the real hardware —
+    strictly stronger than a finite-difference probe.  A grad-direction FD
+    check is kept as an independent end-to-end cross-check (the r5-initial
+    random-direction FD was ill-conditioned: <g, d_random> signal ~2e-2 vs
+    f32 cancellation noise in sum(attn^2) ~ 1e3, and at DEFAULT matmul
+    precision the eps*d perturbation lands below the MXU's bf16-pass input
+    rounding — it measured PRNG noise, not the kernel).
+
+    Small logits (x0.1 inputs) keep softmax near-uniform so no causal entry
+    underflows f32 and every position is observable.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -136,34 +170,59 @@ def dropout_semantics(T=512, dh=128, rate=0.1, seed=3):
 
     rng = np.random.default_rng(seed)
     B, H = 2, 4
-    q = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
-    # V = first dh columns of I_T: output[..., i, j] == dropped_weights[i, j]
-    v = jnp.broadcast_to(jnp.eye(T, dh, dtype=jnp.float32), (B, H, T, dh))
+    q = jnp.asarray(rng.normal(size=(B, H, T, dh)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, dh)) * 0.1, jnp.float32)
     scale = 1.0 / dh**0.5
-
-    p_det = np.asarray(fused_attention(q, k, v, scale=scale))
-    p_drop = np.asarray(
-        fused_attention(q, k, v, scale=scale, dropout_rate=rate,
-                        dropout_rng=jax.random.PRNGKey(41))
-    )
-    # Consider only entries the causal mask allows AND that are numerically
-    # observable in the deterministic run (softmax can underflow to 0).
-    row = np.arange(T)[:, None]
-    col = np.arange(dh)[None, :]
-    observable = (col <= row) & (p_det > 1e-8)
-    kept = p_drop != 0.0
-    keep_hat = float(np.mean(kept[np.broadcast_to(observable, kept.shape)]))
-
+    key = jax.random.PRNGKey(41)
     keep = 1.0 - rate
-    sel = kept & np.broadcast_to(observable, kept.shape)
+
+    def eye_block(j0):
+        e = np.zeros((T, dh), np.float32)
+        e[j0 : j0 + dh] = np.eye(dh, dtype=np.float32)
+        return jnp.broadcast_to(jnp.asarray(e), (B, H, T, dh))
+
+    # full fwd Pd (and deterministic P) via identity probes
+    pd_cols, p_cols = [], []
+    for j0 in range(0, T, dh):
+        v = eye_block(j0)
+        pd_cols.append(np.asarray(fused_attention(
+            q, k, v, scale=scale, dropout_rate=rate, dropout_rng=key)))
+        p_cols.append(np.asarray(fused_attention(q, k, v, scale=scale)))
+    pd_fwd = np.concatenate(pd_cols, axis=-1)  # (B, H, T, T)
+    p_det = np.concatenate(p_cols, axis=-1)
+    pd_fwd2 = np.concatenate(
+        [np.asarray(fused_attention(q, k, eye_block(j0), scale=scale,
+                                    dropout_rate=rate, dropout_rng=key))
+         for j0 in range(0, T, dh)], axis=-1)
+
+    # full bwd Pd via grad-wrt-V probes with identity cotangents
+    vx = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
+    pd_rows = []
+    for j0 in range(0, T, dh):
+        co = eye_block(j0)
+        dv = jax.grad(lambda vv: jnp.sum(fused_attention(
+            q, k, vv, scale=scale, dropout_rate=rate, dropout_rng=key) * co))(vx)
+        pd_rows.append(np.asarray(dv).transpose(0, 1, 3, 2))
+    pd_bwd = np.concatenate(pd_rows, axis=2)  # (B, H, T, T)
+
+    causal = np.broadcast_to(np.tril(np.ones((T, T), bool)), pd_fwd.shape)
+    mask_fwd = pd_fwd != 0.0
+    mask_bwd = pd_bwd != 0.0
+    mask_disagree = int((causal & (mask_fwd != mask_bwd)).sum())
+    kept_sel = causal & mask_fwd & mask_bwd
+    pd_val_rel = float(np.max(
+        np.abs(pd_fwd - pd_bwd)[kept_sel] / np.maximum(np.abs(pd_fwd[kept_sel]), 1e-12)
+    )) if kept_sel.any() else 0.0
+
+    keep_hat = float(mask_fwd[causal].mean())
+    sel = kept_sel & (p_det > 1e-8)
     scale_err = float(
-        np.max(np.abs(p_drop[sel] - p_det[sel] / keep) / (p_det[sel] / keep))
+        np.max(np.abs(pd_fwd[sel] - p_det[sel] / keep) / (p_det[sel] / keep))
     )
 
-    # fwd/bwd same-mask: jax.grad at fixed seed vs central finite differences
-    # along a random direction, f32.
-    key = jax.random.PRNGKey(55)
+    # independent end-to-end check: jax.grad at fixed seed vs central finite
+    # differences ALONG THE GRADIENT DIRECTION (maximal signal) in true f32.
+    fkey = jax.random.PRNGKey(55)
     qs = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
     ks = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
     vs = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
@@ -171,30 +230,27 @@ def dropout_semantics(T=512, dh=128, rate=0.1, seed=3):
     def f(qq):
         return jnp.sum(
             fused_attention(qq, ks, vs, scale=0.125, dropout_rate=rate,
-                            dropout_rng=key) ** 2
+                            dropout_rng=fkey) ** 2
         )
 
     g = jax.jit(jax.grad(f))(qs)
-    d = jnp.asarray(rng.normal(size=qs.shape), jnp.float32)
-    d = d / jnp.linalg.norm(d)
+    gnorm = float(jnp.linalg.norm(g))
+    d = g / gnorm
     eps = 1e-2
     fd = (float(f(qs + eps * d)) - float(f(qs - eps * d))) / (2 * eps)
-    analytic = float(jnp.vdot(g, d))
-    fd_rel = abs(fd - analytic) / max(abs(fd), 1e-12)
+    fd_rel = abs(fd - gnorm) / max(abs(fd), 1e-12)
 
-    # determinism: same key -> identical output twice
-    p_drop2 = np.asarray(
-        fused_attention(q, k, v, scale=scale, dropout_rate=rate,
-                        dropout_rng=jax.random.PRNGKey(41))
-    )
     return {
         "rate": rate,
         "keep_rate_observed": keep_hat,
         "keep_rate_expected": keep,
         "keep_rate_abs_err": abs(keep_hat - keep),
         "surviving_weight_scale_max_rel_err": scale_err,
+        "mask_fwd_bwd_disagreements": mask_disagree,
+        "mask_positions_checked": int(causal.sum()),
+        "pd_fwd_bwd_max_rel_err": pd_val_rel,
         "grad_fd_rel_err": fd_rel,
-        "same_seed_deterministic": bool(np.array_equal(p_drop, p_drop2)),
+        "same_seed_deterministic": bool(np.array_equal(pd_fwd, pd_fwd2)),
     }
 
 
@@ -303,17 +359,20 @@ def main() -> int:
     for label, fn, T, dh, dtype in [
         ("fused_T512_bf16", fused_fn, 512, 64, jnp.bfloat16),
         ("fused_T896_bf16", fused_fn, 896, 64, jnp.bfloat16),
-        ("fused_T512_f32", fused_fn, 512, 64, jnp.float32),
         ("flash_T1024_bf16", flash_fn, 1024, 64, jnp.bfloat16),
         ("flash_T1280_bf16", flash_fn, 1280, 64, jnp.bfloat16),
     ]:
         cases[label] = compare_paths(fn, T, dh, dtype)
         log(f"{label}: {cases[label]}")
 
-    worst_params = module_param_grads()
-    log(f"module param grads (fused vs einsum, f32): {worst_params}")
-    drop = dropout_semantics()
-    log(f"dropout semantics: {drop}")
+    # f32 diagnostics under true-f32 matmuls (see TOL comment)
+    with jax.default_matmul_precision("highest"):
+        cases["fused_T512_f32"] = compare_paths(fused_fn, 512, 64, jnp.float32)
+        log(f"fused_T512_f32: {cases['fused_T512_f32']}")
+        worst_params = module_param_grads()
+        log(f"module param grads (fused vs einsum, f32): {worst_params}")
+        drop = dropout_semantics()
+        log(f"dropout semantics: {drop}")
 
     bench = {} if args.skip_bench else {
         "T512_B32_H8_fwdbwd": bench_pair(512, 64),
@@ -333,6 +392,8 @@ def main() -> int:
         ("module_param_grads", worst_params["rel"], TOL["f32_grad"]),
         ("dropout.keep_rate", drop["keep_rate_abs_err"], TOL["keep_rate_abs"]),
         ("dropout.scale", drop["surviving_weight_scale_max_rel_err"], TOL["scale_rel"]),
+        ("dropout.mask_fwd_bwd", float(drop["mask_fwd_bwd_disagreements"]), 0.0),
+        ("dropout.pd_fwd_bwd", drop["pd_fwd_bwd_max_rel_err"], TOL["f32_grad"]),
         ("dropout.grad_fd", drop["grad_fd_rel_err"], TOL["fd_rel"]),
         ("dropout.deterministic", 0.0 if drop["same_seed_deterministic"] else 1.0, 0.5),
     ]

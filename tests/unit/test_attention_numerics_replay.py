@@ -60,6 +60,18 @@ def test_dropout_semantics(artifact):
     assert d["grad_fd_rel_err"] <= artifact["tolerances"]["fd_rel"]
 
 
+def test_dropout_mask_fwd_bwd_identical(artifact):
+    """The custom-VJP backward reseeds the TPU PRNG to recompute the dropout
+    mask; the artifact reconstructs the dropped weight matrix from BOTH the
+    forward output and the backward's dV and they must agree bit-exactly at
+    every causal position — the load-bearing correctness claim of the fused
+    dropout path."""
+    d = artifact["dropout_semantics"]
+    assert d["mask_fwd_bwd_disagreements"] == 0
+    assert d["mask_positions_checked"] >= 50_000
+    assert d["pd_fwd_bwd_max_rel_err"] <= artifact["tolerances"]["f32_grad"]
+
+
 def test_fused_beats_einsum_with_dropout(artifact):
     """The kernel's reason to exist: attention-weight dropout at the flagship
     shape must be cheaper fused than through HBM-materialized masks."""
