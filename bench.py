@@ -228,6 +228,10 @@ def main() -> None:
     )
 
     config = get_high_performance_config()
+    if config.prng_impl:
+        # hardware RNG: threefry's serialized scalar key fusions cost ~31
+        # ms/step at this shape (scripts/bench_prng_ab.py, 137k -> 184k)
+        jax.config.update("jax_default_prng_impl", config.prng_impl)
     # B32 x T512 is the measured-best MXU shape for the flagship step
     # (scripts/bench_step_shapes.py --short, r4: 138.0k padded frames/s vs
     # 115.0k at the old B16 x T896).  K=16 amortizes the ~39 ms tunnel

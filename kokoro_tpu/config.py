@@ -295,14 +295,26 @@ class TrainingConfig:
     # makes them one-time per MACHINE instead of per process (fresh-process
     # warm epoch: executable loads only).  None = JAX default (off).
     compilation_cache_dir: Optional[str] = None
-    # pallas flash attention, auto-gated to CAUSAL self-attention >= 1024
-    # frames (measured 2.4x vs einsum at T=1280; einsum fuses better below).
-    # The kernel cannot apply attention-WEIGHT dropout;
-    # attention_weight_dropout=False removes it (residual dropouts remain) so
-    # flash stays active during training — a documented deviation from the
-    # reference enabled by the perf preset.
+    # pallas attention kernels, auto-gated by sequence length: the
+    # VMEM-resident fused kernel (ops/fused_attention.py) covers causal
+    # self-attention for 128 <= T <= 896 INCLUDING in-kernel PRNG
+    # attention-weight dropout (real-TPU numerics artifact
+    # docs/attention_numerics_tpu.json); the blocked flash kernel covers
+    # >= 1024 frames (2.4x vs einsum at T=1280) but only deterministically.
+    # attention_weight_dropout=True (reference parity) therefore rides the
+    # fused kernel below 1024 and falls back to einsum + HBM masks only for
+    # cross-attention, the short phoneme encoder, and >= 1024-frame causal
+    # self-attention during training.
     use_flash_attention: bool = False
     attention_weight_dropout: bool = True
+    # JAX PRNG implementation for the training process (None = JAX default,
+    # threefry).  'rbg' replaces threefry's ~450 serialized scalar
+    # key-derivation/bit-gen fusions per step (~31 ms/step at the bench
+    # shape, scripts/bench_prng_ab.py: 137k -> 184k mel-frames/s) with the
+    # TPU's hardware RNG; draws remain deterministic per (key, shape) but
+    # follow a different stream than threefry, so fixed-seed runs are
+    # reproducible within an impl, not across impls.
+    prng_impl: Optional[str] = None
 
     def __post_init__(self) -> None:
         if not self.feature_cache_dir:
@@ -454,7 +466,12 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         max_batch_size=16,
         gradient_checkpointing=False,
         use_flash_attention=True,
-        attention_weight_dropout=False,
+        # reference-parity attention-weight dropout stays ON: the fused
+        # VMEM kernel draws the mask from the in-kernel PRNG, so it no
+        # longer costs HBM mask traffic at training lengths (<= 896)
+        attention_weight_dropout=True,
+        # hardware RNG for host-side dropout streams (see field docs)
+        prng_impl="rbg",
         batch_transfer_dtype="bfloat16",
         # dispatch-shape hygiene: contiguous same-shape runs (scan stacking),
         # full-row batches, one padded-B program

@@ -51,11 +51,14 @@ MIN_FUSED_LEN = 128
 
 
 def fused_supported(q_len: int, kv_len: int, head_dim: int, causal: bool) -> bool:
+    # q_len need not be a multiple of 128: fused_attention zero-pads T up to
+    # the next 128 multiple (exact — see the padding note in its docstring),
+    # so the gate only requires the PADDED length to fit the VMEM budget.
     return (
         causal
         and q_len == kv_len
-        and MIN_FUSED_LEN <= q_len <= MAX_FUSED_LEN
-        and q_len % 128 == 0
+        and MIN_FUSED_LEN <= q_len
+        and -(-q_len // 128) * 128 <= MAX_FUSED_LEN
         and head_dim in (64, 128)
     )
 
@@ -232,6 +235,14 @@ def fused_attention(
     ``dropout_rate > 0`` requires ``dropout_rng`` (a JAX PRNG key); the key is
     folded to a 32-bit seed that parameterizes the in-kernel PRNG.  Caller
     gates shapes with :func:`fused_supported`.
+
+    T that is not a multiple of 128 (the mel bucket ladder has 432/464/784/
+    848-frame buckets) is zero-padded up to the next multiple and the output
+    sliced back.  This is EXACT for causal attention: a padded key at column
+    j >= T is masked (col <= row fails) for every real query row i < T, padded
+    query rows are sliced away, and in the backward the padded cotangent rows
+    are zero so they contribute nothing to dK/dV.  The dropout mask is drawn
+    over the padded (Tp, Tp) block — still iid Bernoulli over the real region.
     """
     B, H, T, Dh = q.shape
     if dropout_rate > 0.0:
@@ -240,10 +251,20 @@ def fused_attention(
         seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
     else:
         seed = jnp.zeros((), jnp.int32)
-    fold = lambda x: x.reshape(B * H, T, Dh)
+    Tp = -(-T // 128) * 128
+    pad = Tp - T
+
+    def fold(x):
+        x = x.reshape(B * H, T, Dh)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
     out = _fused(
         (float(scale), float(dropout_rate)),
         seed[None],
         fold(q), fold(k), fold(v),
     )
+    if pad:
+        out = out[:, :T]
     return out.reshape(B, H, T, Dh)

@@ -164,6 +164,14 @@ class KokoroTrainer:
                 "jax_compilation_cache_dir", str(config.compilation_cache_dir)
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        if config.prng_impl:
+            # measured on v5e (scripts/bench_prng_ab.py): the default
+            # threefry spends ~31 ms/step in thousands of serialized scalar
+            # key-derivation/bit-generation fusions behind the dropout calls;
+            # the hardware-backed 'rbg' impl runs the same step at 89 ms vs
+            # 120 ms (137k -> 184k mel-frames/s).  Still deterministic per
+            # (key, shape) — just a different, cheaper stream.
+            jax.config.update("jax_default_prng_impl", config.prng_impl)
         self._setup_mesh()
         self.output_dir = Path(config.output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)

@@ -39,10 +39,15 @@ class TestGating:
     def test_shape_rules(self):
         assert fused_supported(512, 512, 64, True)
         assert fused_supported(896, 896, 128, True)
+        # non-128-multiple lengths are zero-padded up, so the bucket-ladder
+        # shapes (432/464/784/848) all qualify...
+        assert fused_supported(432, 432, 64, True)
+        assert fused_supported(784, 784, 64, True)
+        assert fused_supported(848, 848, 128, True)
+        # ...unless the PADDED length leaves the VMEM budget (960 -> 1024)
+        assert not fused_supported(960, 960, 64, True)
         assert not fused_supported(512, 512, 64, False)  # non-causal
         assert not fused_supported(512, 384, 64, True)  # q != kv (cross)
-        assert not fused_supported(960, 960, 64, True)  # > MAX at 128-step? no:
-        # 960 % 128 != 0 — and anything above MAX_FUSED_LEN is flash territory
         assert not fused_supported(MAX_FUSED_LEN + 128, MAX_FUSED_LEN + 128, 64, True)
         assert not fused_supported(64, 64, 64, True)  # < MIN
         assert not fused_supported(512, 512, 48, True)  # head_dim
@@ -94,6 +99,44 @@ class TestKernelNumerics:
 
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=5e-5, atol=5e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    @pytest.mark.parametrize("T", [200, 432])
+    def test_padded_length_forward_matches_einsum(self, T):
+        """Non-128-multiple T runs the kernel at the next multiple with
+        zero padding; the sliced-back output must be EXACTLY the unpadded
+        math (causality hides padded keys from every real query)."""
+        rng = np.random.default_rng(4)
+        shape = (1, 2, T, 64)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        out = fused_attention(q, k, v, scale=0.125)
+        ref = einsum_reference(q, k, v, 0.125)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_padded_length_gradients_match_einsum(self):
+        rng = np.random.default_rng(5)
+        shape = (1, 1, 200, 64)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        co = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+        g_fused = jax.grad(
+            lambda *a: jnp.sum(fused_attention(*a, scale=0.125) * co),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(einsum_reference(*a, 0.125) * co),
+            argnums=(0, 1, 2),
+        )(q, k, v)
         for gf, gr, name in zip(g_fused, g_ref, "qkv"):
             np.testing.assert_allclose(
                 np.asarray(gf), np.asarray(gr), rtol=5e-5, atol=5e-5,
