@@ -29,8 +29,16 @@ composition order.  The pass criterion is therefore trajectory-level, not
 bitwise: both val mel curves must improve, and the final val mel / total
 losses must agree within ``--tolerance`` (default 20% relative).
 
+Beyond the loss curves, the r5 run compares the reference's full parity
+surface (reference trainer.py:1865-1910): every loss component (mel,
+duration, stop, pitch, energy, total) plus spectral convergence, voiced
+F0 RMSE, and MCD — the quality metrics computed with ONE set of formulas
+on both sides (the reference's validation tensors are captured via a
+_calculate_losses hook and scored in numpy; its own TB-logged SC/F0 are
+recorded alongside).
+
 Usage:
-    python scripts/parity_run.py --epochs 10 --utts 48          # both sides
+    python scripts/parity_run.py --epochs 16 --utts 384         # both sides
     python scripts/parity_run.py --side ref                     # one side
     python scripts/parity_run.py --report-only                  # re-render md
 
@@ -160,6 +168,64 @@ def write_corpus(root: Path, n_utterances: int, seed: int = 0) -> None:
     )
 
 
+def write_quality_corpus(root: Path, n_utterances: int) -> None:
+    """The r5 parity corpus: scripts/quality_run.py's utterance-like synthetic
+    speech (per-word f0 moves + formant-ish noise, ~4.4 s each) — the same
+    generator behind docs/QUALITY_RUN.md, so the head-to-head runs on material
+    where duration/pitch/energy targets actually correlate with the text."""
+    import quality_run
+
+    quality_run.build_corpus(root, n_utterances)
+    # the reference hardcodes this metadata filename (reference dataset.py:285)
+    meta = (root / "metadata.csv").read_text(encoding="utf-8")
+    (root / "metadata_RUSLAN_22200.csv").write_text(meta, encoding="utf-8")
+
+
+# ----------------------------------------------------------------------
+# Quality metrics, computed with ONE set of formulas on both sides
+# ----------------------------------------------------------------------
+
+def _quality_metrics_np(
+    pred_mel: np.ndarray,     # (B, T, M) natural-log mel
+    tgt_mel: np.ndarray,      # (B, T, M)
+    mel_lengths: np.ndarray,  # (B,)
+    pred_pitch: np.ndarray | None,  # (B, T) normalized pitch
+    tgt_pitch: np.ndarray | None,
+) -> dict:
+    """Numpy port of kokoro_tpu.training.losses {spectral_convergence,
+    f0_rmse, mel_cepstral_distortion} (same masking, pooling, and constants)
+    so the reference side's captured validation tensors are scored by the
+    IDENTICAL definition the kokoro_tpu trainer reports — the reference's own
+    in-trainer metrics (trainer.py:1865-1910) average per-sample and skip the
+    voiced-frame filter, which would bake a definitional offset into the
+    comparison."""
+    B, T, M = pred_mel.shape
+    mask = np.arange(T)[None, :] < mel_lengths[:, None]  # (B, T)
+    m3 = mask[:, :, None]
+    diff = np.where(m3, pred_mel - tgt_mel, 0.0)
+    tgt = np.where(m3, tgt_mel, 0.0)
+    sc = float(
+        np.sqrt((diff**2).sum()) / max(np.sqrt((tgt**2).sum()), 1e-8)
+    )
+
+    out = {"spectral_convergence": sc}
+    if pred_pitch is not None and tgt_pitch is not None:
+        voiced = mask & (tgt_pitch > 0)
+        se = np.where(voiced, (pred_pitch - tgt_pitch) ** 2, 0.0)
+        out["f0_rmse"] = float(np.sqrt(se.sum() / max(voiced.sum(), 1)))
+
+    # MCD: orthonormal DCT-II, coefficients 1..13, Kubichek dB form
+    n = np.arange(M)
+    k = np.arange(M)[:, None]
+    basis = np.cos(np.pi * k * (2 * n[None, :] + 1) / (2 * M))
+    basis *= np.where(k == 0, np.sqrt(1.0 / M), np.sqrt(2.0 / M))
+    dc = np.einsum("btm,km->btk", (pred_mel - tgt_mel).astype(np.float64), basis)
+    dc = dc[..., 1:14]
+    per_frame = (10.0 / np.log(10.0)) * np.sqrt(2.0 * (dc**2).sum(-1) + 1e-12)
+    out["mcd"] = float((per_frame * mask).sum() / max(mask.sum(), 1.0))
+    return out
+
+
 # ----------------------------------------------------------------------
 # Reference side (torch CPU)
 # ----------------------------------------------------------------------
@@ -192,22 +258,73 @@ def run_reference(corpus: Path, workdir: Path, epochs: int) -> dict:
         **SHARED_CONFIG,
     )
     trainer = RefTrainer(cfg)
+
+    # --- capture hooks ------------------------------------------------
+    # (a) validation tensors from _calculate_losses (positional layout per
+    #     reference trainer.py:1829-1835) -> same-formula quality metrics;
+    # (b) the reference's OWN spectral-conv / f0-RMSE, which it computes at
+    #     trainer.py:1865-1910 but exposes only through writer.add_scalar.
+    capture = {"active": False, "batches": []}
+    inner_losses = trainer._calculate_losses
+
+    def _capturing_losses(*args, **kwargs):
+        if capture["active"]:
+            pm, ms, ml = args[0], args[3], args[6]
+            pp = args[8] if len(args) > 8 else kwargs.get("predicted_pitch")
+            tp = args[10] if len(args) > 10 else kwargs.get("pitch_targets")
+            capture["batches"].append(_quality_metrics_np(
+                pm.detach().cpu().float().numpy(),
+                ms.detach().cpu().float().numpy(),
+                ml.detach().cpu().numpy(),
+                None if pp is None else pp.detach().cpu().float().numpy(),
+                None if tp is None else tp.detach().cpu().float().numpy(),
+            ))
+        return inner_losses(*args, **kwargs)
+
+    trainer._calculate_losses = _capturing_losses
+
+    own_scalars = {}
+    inner_add_scalar = trainer.writer.add_scalar
+
+    def _capturing_add_scalar(tag, value, *a, **kw):
+        if tag in ("metrics/val_spectral_convergence", "metrics/val_f0_rmse"):
+            own_scalars[tag] = float(value)
+        return inner_add_scalar(tag, value, *a, **kw)
+
+    trainer.writer.add_scalar = _capturing_add_scalar
+    # -------------------------------------------------------------------
+
     history = []
     for e in range(epochs):
         t0 = time.time()
         tm = trainer.train_epoch(e)
+        capture["active"], capture["batches"] = True, []
+        own_scalars.clear()
         vm = trainer.validate_epoch(e)
+        capture["active"] = False
+        qual = {
+            k: float(np.mean([b[k] for b in capture["batches"] if k in b]))
+            for k in ("spectral_convergence", "f0_rmse", "mcd")
+            if any(k in b for b in capture["batches"])
+        }
+        qual["own_spectral_convergence"] = own_scalars.get(
+            "metrics/val_spectral_convergence", 0.0
+        )
+        qual["own_f0_rmse"] = own_scalars.get("metrics/val_f0_rmse", 0.0)
         history.append(
             {
                 "epoch": e,
                 "train": _ref_metrics(tm),
                 "val": _ref_metrics(vm),
+                "val_extra": qual,
                 "seconds": round(time.time() - t0, 2),
             }
         )
         print(
             f"[ref] epoch {e}: train {tm.total_loss:.4f} "
-            f"val {vm.total_loss:.4f} (mel {vm.mel_loss:.4f})",
+            f"val {vm.total_loss:.4f} (mel {vm.mel_loss:.4f}, "
+            f"sc {qual.get('spectral_convergence', 0.0):.4f}, "
+            f"mcd {qual.get('mcd', 0.0):.3f})",
             flush=True,
         )
     return {"framework": "reference-torch-cpu", "epochs": history}
@@ -264,6 +381,7 @@ def run_tpu(corpus: Path, workdir: Path, epochs: int) -> dict:
                     "spectral_convergence": float(
                         vm.get("spectral_convergence", 0.0)
                     ),
+                    "f0_rmse": float(vm.get("f0_rmse", 0.0)),
                     "mcd": float(vm.get("mcd", 0.0)),
                 },
                 "seconds": round(time.time() - t0, 2),
@@ -281,14 +399,38 @@ def run_tpu(corpus: Path, workdir: Path, epochs: int) -> dict:
 # Comparison + report
 # ----------------------------------------------------------------------
 
-def compare(ref: dict, tpu: dict, tolerance: float) -> dict:
+#: r5 scaled-run gates for the metric surfaces beyond val mel/total.  The
+#: per-component losses (duration/stop/pitch/energy) are small-magnitude
+#: masked means whose relative noise at a few hundred utterances is larger
+#: than mel's, and the quality metrics compare two independently-initialized
+#: trainings — both get a wider (but still binding) gate than the headline
+#: mel/total tolerance.  tests/unit/test_parity_replay.py recomputes the
+#: whole comparison from the committed JSON, so weakening these is visible.
+COMPONENT_TOLERANCE = 0.35
+QUALITY_TOLERANCE = 0.35
+
+
+def compare(
+    ref: dict,
+    tpu: dict,
+    tolerance: float,
+    component_tolerance: float = COMPONENT_TOLERANCE,
+    quality_tolerance: float = QUALITY_TOLERANCE,
+) -> dict:
     """Trajectory-level pass criteria; pure function of the two histories so
     tests/unit/test_parity_replay.py can recompute it from the JSON."""
 
     def curve(side, key):
         return [ep["val"][key] for ep in side["epochs"]]
 
-    out = {"tolerance": tolerance, "checks": {}}
+    out = {
+        "tolerance": tolerance,
+        "component_tolerance": component_tolerance,
+        "quality_tolerance": quality_tolerance,
+        "checks": {},
+        "component_checks": {},
+        "quality_checks": {},
+    }
     verdicts = []
     for key in ("mel", "total"):
         r, t = curve(ref, key), curve(tpu, key)
@@ -307,6 +449,42 @@ def compare(ref: dict, tpu: dict, tolerance: float) -> dict:
         )
         out["checks"][f"val_{key}"] = check
         verdicts.append(check["pass"])
+
+    # every remaining loss component the reference's parity surface carries
+    for key in ("duration", "stop", "pitch", "energy"):
+        r, t = curve(ref, key), curve(tpu, key)
+        rel_gap = abs(t[-1] - r[-1]) / max(abs(r[-1]), 1e-9)
+        check = {
+            "ref_first": r[0], "ref_final": r[-1],
+            "tpu_first": t[0], "tpu_final": t[-1],
+            "final_rel_gap": rel_gap,
+            "ref_improved": r[-1] < r[0],
+            "tpu_improved": t[-1] < t[0],
+            "pass": bool(rel_gap <= component_tolerance),
+        }
+        out["component_checks"][f"val_{key}"] = check
+        verdicts.append(check["pass"])
+
+    # same-formula quality metrics (spectral convergence / F0 RMSE / MCD)
+    def extra_curve(side, key):
+        return [
+            ep.get("val_extra", {}).get(key) for ep in side["epochs"]
+        ]
+
+    for key in ("spectral_convergence", "f0_rmse", "mcd"):
+        r, t = extra_curve(ref, key), extra_curve(tpu, key)
+        if r[-1] is None or t[-1] is None:
+            continue
+        rel_gap = abs(t[-1] - r[-1]) / max(abs(r[-1]), 1e-9)
+        check = {
+            "ref_final": r[-1], "tpu_final": t[-1],
+            "final_rel_gap": rel_gap,
+            "better_side": "tpu" if t[-1] <= r[-1] else "ref",
+            "pass": bool(rel_gap <= quality_tolerance or t[-1] <= r[-1]),
+        }
+        out["quality_checks"][key] = check
+        verdicts.append(check["pass"])
+
     out["pass"] = bool(all(verdicts))
     return out
 
@@ -343,6 +521,41 @@ def render_report(payload: dict, path: Path) -> None:
             f"relative gap {c['final_rel_gap']:.1%} "
             f"({'PASS' if c['pass'] else 'FAIL'})"
         )
+    if comp.get("component_checks"):
+        lines += [
+            "",
+            "## Per-component final validation losses",
+            "",
+            "| component | ref final | kokoro_tpu final | rel gap | gate | verdict |",
+            "|---|---:|---:|---:|---:|---|",
+        ]
+        for key, c in comp["component_checks"].items():
+            lines.append(
+                f"| {key} | {c['ref_final']:.4f} | {c['tpu_final']:.4f} | "
+                f"{c['final_rel_gap']:.1%} | {comp['component_tolerance']:.0%} "
+                f"| {'PASS' if c['pass'] else 'FAIL'} |"
+            )
+    if comp.get("quality_checks"):
+        lines += [
+            "",
+            "## Quality metrics (same formulas on both sides)",
+            "",
+            "Spectral convergence, voiced-frame F0 RMSE, and 13-coefficient "
+            "MCD (dB) computed with kokoro_tpu's definitions on BOTH sides "
+            "(the reference's validation tensors are captured per batch and "
+            "scored in numpy; its own in-trainer SC/F0 values are recorded "
+            "alongside in the JSON).  Lower is better; a side that is equal "
+            "or better passes regardless of gap.",
+            "",
+            "| metric | ref final | kokoro_tpu final | rel gap | better | verdict |",
+            "|---|---:|---:|---:|---|---|",
+        ]
+        for key, c in comp["quality_checks"].items():
+            lines.append(
+                f"| {key} | {c['ref_final']:.4f} | {c['tpu_final']:.4f} | "
+                f"{c['final_rel_gap']:.1%} | {c['better_side']} | "
+                f"{'PASS' if c['pass'] else 'FAIL'} |"
+            )
     lines += [
         "",
         "Wall clock: "
@@ -360,8 +573,13 @@ def render_report(payload: dict, path: Path) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--utts", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--utts", type=int, default=384)
+    ap.add_argument(
+        "--corpus-kind", choices=("quality", "tones"), default="quality",
+        help="'quality' = scripts/quality_run.py's utterance-like corpus "
+        "(r5 scaled run); 'tones' = the r4 multi-tone micro corpus",
+    )
     ap.add_argument("--workdir", default="/tmp/parity_run")
     ap.add_argument("--side", choices=("both", "ref", "tpu"), default="both")
     ap.add_argument("--tolerance", type=float, default=0.20)
@@ -377,9 +595,13 @@ def main() -> int:
     if not args.report_only:
         corpus = workdir / "corpus"
         if not (corpus / "metadata.csv").exists():
-            write_corpus(corpus, args.utts)
+            if args.corpus_kind == "quality":
+                write_quality_corpus(corpus, args.utts)
+            else:
+                write_corpus(corpus, args.utts)
         payload.setdefault("meta", {}).update(
             {"epochs": args.epochs, "utts": args.utts,
+             "corpus": args.corpus_kind,
              "shared_config": {k: v for k, v in SHARED_CONFIG.items()}}
         )
         if args.side in ("both", "ref"):
