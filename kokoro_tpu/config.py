@@ -233,6 +233,31 @@ class TrainingConfig:
     # call (lax.scan over optimizer steps).  Amortizes per-dispatch overhead —
     # measured 190 ms/call vs ~2 ms of compute on tunneled-TPU hosts.
     scan_steps: int = 8
+    # Pad ragged same-shape tails (< scan_steps pending batches) up to a full
+    # scan chunk with NULL steps instead of dispatching them through separate
+    # k=1 programs.  A null slot replicates the last real batch and carries
+    # _step_valid=0; the scanned step computes it but the carried state is
+    # re-selected to the pre-step state, so semantics are exactly "the valid
+    # steps ran".  Halves the compiled-program ladder (one program per bucket
+    # shape instead of a k-variant pair) — on tunneled hosts each avoided
+    # program saves ~15-20 s of first-contact executable load.  Trade-off:
+    # each null slot costs a full step of device compute, so enable only when
+    # tails are a negligible fraction of the epoch's steps (large corpora /
+    # large scan_steps); on tiny corpora the null compute exceeds the
+    # one-time load saving.
+    pad_tail_steps: bool = False
+    # AOT program warmup: at epoch start, predict the epoch's distinct
+    # (bucket-shape, scan_k) train-step programs from length metadata alone
+    # (no features computed) and compile/load ALL of them concurrently on a
+    # thread pool via jit(...).lower(avals).compile().  On tunneled-TPU hosts
+    # cached-executable loads release the GIL and overlap near-perfectly
+    # (measured 3.5x for 6 programs), so first-contact cost drops from
+    # sum(loads) to ~max(loads) — and the loads also overlap the first
+    # epoch's host-side feature-cache fill.  Dispatch falls back to the
+    # normal jit path for any signature the prediction missed.
+    aot_warmup: bool = False
+    # Concurrent lower+compile threads for the warmup pool.
+    aot_warmup_workers: int = 6
     # Batch dispatch order: "spread" = reference heavy-batch spreading
     # (decorrelates gradient spikes, interleaves shapes); "shape_major" =
     # group batches by padded (mel, phoneme) bucket so consecutive same-shape
@@ -477,6 +502,13 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         # full-row batches, one padded-B program
         batch_order="shape_major",
         carry_tail=True,
+        # pad_tail_steps stays OFF: at bench-corpus scale the epoch is ~18
+        # optimizer steps, so the ~6 null tail slots it would add cost ~25%
+        # more device time per epoch — far more than the 2 avoided program
+        # loads (~35 s, one-time).  Prefetch already amortizes per-dispatch
+        # overhead to ~19 ms, so padding buys nothing in steady state here.
+        # Enable it for large-K scan dispatch on corpora where tails are a
+        # negligible step fraction.
         pack_mode="bucket",
         batch_size_multiple=8,
         cross_epoch_prefetch=True,

@@ -64,6 +64,13 @@ _TIME_AXIS_OFFSET: Dict[str, int] = {
 }
 
 
+# Batch-dict keys with NO batch axis: host-side control arrays whose leading
+# axis is the lax.scan step axis (e.g. the null-step-padding validity mask,
+# config.pad_tail_steps).  Replicated on every device and identical across
+# processes.
+_REPLICATED_KEYS = frozenset({"_step_valid"})
+
+
 _DEFAULT_AXIS_NAMES = ("data", "model")
 
 
@@ -114,6 +121,8 @@ def batch_pspec(
 ) -> P:
     """PartitionSpec sharding the batch axis (and, when ``seq_axis`` is given,
     the mel-frame axis of time-bearing keys), replicating everything else."""
+    if key in _REPLICATED_KEYS:
+        return P()
     b = batch_axis_index(key, ndim)
     spec = [None] * b + [axis_name]
     t_off = _TIME_AXIS_OFFSET.get(key)
@@ -182,10 +191,13 @@ def global_batch_from_local(
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        axis = batch_axis_index(k, v.ndim)
         sharding = NamedSharding(mesh, batch_pspec(k, v.ndim, seq_axis=seq))
         global_shape = list(v.shape)
-        global_shape[axis] = v.shape[axis] * count
+        if k not in _REPLICATED_KEYS:
+            # replicated control arrays (e.g. _step_valid) are identical on
+            # every process — their global shape IS the local shape
+            axis = batch_axis_index(k, v.ndim)
+            global_shape[axis] = v.shape[axis] * count
         out[k] = jax.make_array_from_process_local_data(
             sharding, v, tuple(global_shape)
         )

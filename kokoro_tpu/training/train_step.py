@@ -254,6 +254,7 @@ def apply_gradient_update(
     *,
     config: TrainingConfig,
     optimizer: optax.GradientTransformation,
+    step_valid=None,
     preclip_tree=None,
     ema_decay: float = 0.999,
 ):
@@ -278,6 +279,17 @@ def apply_gradient_update(
     # so we instead skip the whole optimizer step (params/opt/EMA do not
     # advance, skipped_steps increments, the host dumps the batch).
     finite = jnp.isfinite(raw_norm) & jnp.isfinite(losses["total"])
+    # Null-step tail padding (config.pad_tail_steps): a padded scan slot
+    # carries step_valid=False — it rides the SAME gated state merge as the
+    # non-finite skip (zero marginal cost; the selects below are already in
+    # the program), but does NOT count as a skip: skipped_steps tracks real
+    # non-finite events only, and the trainer drops the slot's metrics.
+    # step_valid=None must leave the traced graph BIT-IDENTICAL to the
+    # maskless program (the persistent compile cache keys on the HLO
+    # fingerprint; a folded-constant `& True` would still invalidate every
+    # cached executable).
+    if step_valid is not None:
+        finite = finite & step_valid.astype(bool)
 
     # ---- pre-clips then global clip ----
     if preclip_tree is not None:
@@ -324,7 +336,12 @@ def apply_gradient_update(
         ema_updates=state.ema_updates + ema_step.astype(jnp.int32),
         grad_ema=jnp.where(finite, new_grad_state.ema_norm, state.grad_ema),
         grad_ema_steps=state.grad_ema_steps + finite.astype(jnp.int32),
-        skipped_steps=state.skipped_steps + (1 - finite.astype(jnp.int32)),
+        skipped_steps=state.skipped_steps
+        + (
+            (1 - finite.astype(jnp.int32))
+            if step_valid is None
+            else (1 - finite.astype(jnp.int32)) * step_valid.astype(jnp.int32)
+        ),
     )
     metrics = dict(
         losses,
@@ -361,6 +378,10 @@ def make_train_step(
         return grads, losses, clip
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        step_valid = None
+        if "_step_valid" in batch:
+            batch = dict(batch)
+            step_valid = batch.pop("_step_valid")
         has_accum_axis = batch["mel_specs"].ndim == 4
 
         if has_accum_axis:
@@ -391,7 +412,7 @@ def make_train_step(
 
         return apply_gradient_update(
             state, grads, losses, clip_norm,
-            config=config, optimizer=optimizer,
+            config=config, optimizer=optimizer, step_valid=step_valid,
             preclip_tree=preclip_tree, ema_decay=ema_decay,
         )
 
@@ -409,6 +430,14 @@ def make_multi_step(train_step, num_steps: int):
     per-call dispatch dominates — measured 190 ms/call overhead vs 2 ms of
     model compute on this machine.  Scanning k steps amortizes the dispatch
     k-fold without changing semantics (RNG folds per step).
+
+    Null-step tail padding (``config.pad_tail_steps``): when the batch dict
+    carries ``_step_valid`` (shape ``[num_steps]``, bool), slots with
+    valid=False are padding — scan slices the flag to a scalar per step and
+    the train step folds it into its existing non-finite skip gate
+    (``_apply_update``), so the optimizer/EMA/opt_step advance only on valid
+    steps at ZERO extra cost (the gated state merge is already in the
+    program).  The trainer masks the padded slots out of metrics host-side.
     """
 
     def multi_step(state, batches, rng):

@@ -53,6 +53,11 @@ def build_step(B, L, T, K, deterministic=False, overrides=None):
     )
 
     config = get_high_performance_config(**(overrides or {}))
+    if config.prng_impl:
+        # The trainer applies this at setup (trainer.py); the trace must match
+        # the program the bench actually runs — threefry vs rbg changes the
+        # fusion profile materially (scripts/bench_prng_ab.py: 120 -> 89 ms).
+        jax.config.update("jax_default_prng_impl", config.prng_impl)
     VOCAB, M = 128, config.n_mels
     model = KokoroModel(
         vocab_size=VOCAB,

@@ -89,8 +89,8 @@ class TestDrainQueue:
         t = bare_trainer(tmp_path)
         batch = {"mel_specs": np.zeros((1, 4, 4), np.float32)}
         t._metric_queue = [
-            (1, fake_host_metrics(1, total=1.0), batch, 0),
-            (2, fake_host_metrics(2, total=2.0), batch, 1),
+            (1, 1, fake_host_metrics(1, total=1.0), batch, 0),
+            (2, 2, fake_host_metrics(2, total=2.0), batch, 1),
         ]
         t._drain_metrics()
         assert t._metric_queue == []
