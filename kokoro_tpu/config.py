@@ -511,6 +511,9 @@ def get_high_performance_config(**overrides) -> TrainingConfig:
         # negligible step fraction.
         pack_mode="bucket",
         batch_size_multiple=8,
+        # concurrent executable acquisition for the whole program ladder
+        # (first-contact cost ~max(loads) instead of sum; see field docs)
+        aot_warmup=True,
         cross_epoch_prefetch=True,
         async_checkpointing=True,
         # one-ish drain per epoch at bench scale; keeps e2e throughput

@@ -29,12 +29,14 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from kokoro_tpu.config import TrainingConfig
 from kokoro_tpu.data.batching import (
     FixedSizeBatcher,
     FrameBudgetBatcher,
+    _bucket_up,
     collate,
     effective_batch_quantum,
 )
@@ -488,6 +490,11 @@ class KokoroTrainer:
         preclips = build_preclip_tree(params, cfg)
         self._preclips = preclips
         self._train_step_cache: Dict[Any, Any] = {}
+        # AOT-warmed executables (config.aot_warmup): program-key -> compiled
+        # (or an in-flight future in _aot_futures; _resolve_aot joins them)
+        self._aot_programs: Dict[Any, Any] = {}
+        self._aot_futures: Dict[Any, Any] = {}
+        self._aot_pool = None
         eval_fn = make_eval_step(self.model, cfg)
         if self.mesh is not None:
             self.eval_step = make_sharded_eval_step(
@@ -523,6 +530,11 @@ class KokoroTrainer:
             # transfer threads (and their staged device buffers) must not
             # outlive the loop
             self._cancel_prewarmed()
+            if self._aot_pool is not None:
+                # queued (not-yet-started) warmup compiles are dropped; an
+                # in-flight compile RPC finishes on its own thread
+                self._aot_pool.shutdown(wait=False, cancel_futures=True)
+                self._aot_pool = None
         self.ckpt.save_final_model(
             self.state, cfg, self.metadata, self._counters(cfg.num_epochs - 1)
         )
@@ -629,11 +641,252 @@ class KokoroTrainer:
                 )
         return self._train_step_cache[key]
 
+    # ------------------------------------------------------------------
+    # AOT program warmup (config.aot_warmup)
+    #
+    # First-contact cost on tunneled-TPU hosts is dominated by per-program
+    # executable acquisition (compile or persistent-cache load, ~15-20 s
+    # each) paid SERIALLY at each program's first dispatch.  Cache loads
+    # release the GIL and overlap near-perfectly across threads (measured
+    # 3.5x for 6 programs), so: predict the epoch's (bucket-shape, scan_k)
+    # dispatch signatures from length metadata alone — collate's shapes are
+    # pure functions of the length estimates, the bucket ladders, and the
+    # batch quantum — and lower+compile every program concurrently while the
+    # first epoch's host-side feature-cache fill proceeds.  Dispatch joins
+    # the in-flight future for its signature (other loads keep overlapping)
+    # and falls back to the normal jit path on any prediction miss.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _program_key(batch_like, scan_k: int, spec_augment: bool):
+        """Canonical program identity: batch aval signature + scan length +
+        SpecAugment gating.  Works on ShapeDtypeStructs and device arrays."""
+        sig = tuple(
+            (k, tuple(v.shape), str(v.dtype))
+            for k, v in sorted(batch_like.items())
+        )
+        return (bool(spec_augment), int(scan_k), sig)
+
+    def _predict_chunk_plan(self, epoch: int):
+        """The epoch's dispatch chunks as ``((B, A, T, L), chunk_k, masked)``
+        tuples, predicted WITHOUT computing features.
+
+        Mirrors ``_assemble`` (batch quantum, bucket_up, sequence caps) and
+        ``_chunk_stream`` (accumulation grouping, same-shape runs, scan
+        stacking, tail handling) on the dataset's length metadata.  Exact
+        when speed perturbation is off (the metadata formula IS the feature
+        path's, dataset.py:153 vs :291); with perturbation on, mispredicted
+        signatures just fall back to the jit path."""
+        cfg = self.config
+        batches = self.batcher.build_batches(epoch)
+        accum = max(1, cfg.gradient_accumulation_steps)
+        scan_k = self._scan_steps
+        pad_tails = bool(getattr(cfg, "pad_tail_steps", False)) and scan_k > 1
+        b_quantum = effective_batch_quantum(
+            getattr(cfg, "batch_size_multiple", None),
+            cfg.max_batch_size,
+            self.dp_size,
+        )
+        cap = int(cfg.max_sequence_dim_cap)
+
+        sig_seq = []
+        group: List[List[int]] = []
+        for b_idx, batch_indices in enumerate(batches):
+            group.append(batch_indices)
+            if len(group) < accum and b_idx != len(batches) - 1:
+                continue
+            out_B = round_up_to_multiple(max(len(g) for g in group), b_quantum)
+            est = [self.train_dataset.lengths(i) for g in group for i in g]
+            mel_max = max(t for t, _ in est)
+            phon_max = max(l for _, l in est)
+            if cap > 0:
+                mel_max, phon_max = min(mel_max, cap), min(phon_max, cap)
+            T = _bucket_up(mel_max, cfg.mel_bucket_sizes)
+            L = _bucket_up(phon_max, cfg.phoneme_bucket_sizes)
+            if cap > 0:
+                T, L = min(T, cap), min(L, cap)
+            # _assemble stacks an accumulation axis only for multi-batch
+            # groups (a trailing partial group of 1 collates flat)
+            A = len(group) if len(group) > 1 else 0
+            sig_seq.append((out_B, A, T, L))
+            group = []
+
+        plan = []
+
+        def drain(n, sig):
+            while n > 0:
+                if scan_k > 1 and (n >= scan_k or pad_tails):
+                    plan.append((sig, scan_k, pad_tails))
+                    n = max(n - scan_k, 0)
+                else:
+                    plan.append((sig, 1, False))
+                    n -= 1
+
+        pending = 0
+        pending_sig = None
+        for sig in sig_seq:
+            if pending_sig is not None and sig != pending_sig:
+                drain(pending, pending_sig)
+                pending = 0
+            pending += 1
+            pending_sig = sig
+            if pending >= scan_k:
+                drain(pending, pending_sig)
+                pending = 0
+                pending_sig = None
+        if pending:
+            drain(pending, pending_sig)
+        return plan
+
+    def _predict_batch_avals(self, sig, chunk_k: int, masked: bool):
+        """ShapeDtypeStruct batch dict for a predicted chunk, mirroring
+        collate's keys/dtypes, ``_cast_transfer``'s bf16 cast, and the scan
+        stacker's leading axes."""
+        cfg = self.config
+        B, A, T, L = sig
+        f_dtype = (
+            jnp.bfloat16
+            if cfg.batch_transfer_dtype == "bfloat16"
+            else jnp.float32
+        )
+        seq = None
+        if self.mesh is not None:
+            # the compiled program must see the SAME placements put_batch
+            # will stage (batch dim on 'data', frame dim on 'seq')
+            from kokoro_tpu.parallel.mesh import _mesh_seq_axis
+
+            seq = _mesh_seq_axis(self.mesh)
+
+        def sd(shape, dtype, key=None):
+            if A:
+                shape = (A,) + shape
+            if chunk_k > 1:
+                shape = (chunk_k,) + shape
+            if self.mesh is not None and key is not None:
+                from jax.sharding import NamedSharding
+
+                from kokoro_tpu.parallel.mesh import batch_pspec
+
+                return jax.ShapeDtypeStruct(
+                    shape, dtype,
+                    sharding=NamedSharding(
+                        self.mesh, batch_pspec(key, len(shape), seq_axis=seq)
+                    ),
+                )
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        avals = {
+            k: sd(shape, dtype, key=k)
+            for k, shape, dtype in (
+                ("mel_specs", (B, T, cfg.n_mels), f_dtype),
+                ("phoneme_indices", (B, L), jnp.int32),
+                ("stress_indices", (B, L), jnp.int32),
+                ("phoneme_durations", (B, L), jnp.int32),
+                ("pitch_targets", (B, T), f_dtype),
+                ("energy_targets", (B, T), f_dtype),
+                ("stop_token_targets", (B, T), f_dtype),
+                ("mel_lengths", (B,), jnp.int32),
+                ("phoneme_lengths", (B,), jnp.int32),
+            )
+        }
+        if masked:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                avals["_step_valid"] = jax.ShapeDtypeStruct(
+                    (chunk_k,), jnp.bool_,
+                    sharding=NamedSharding(self.mesh, PartitionSpec()),
+                )
+            else:
+                avals["_step_valid"] = jax.ShapeDtypeStruct(
+                    (chunk_k,), jnp.bool_
+                )
+        return avals
+
+    def _warm_programs(self, epoch: int, spec_augment: bool) -> None:
+        """Kick off concurrent lower+compile for every program the epoch's
+        predicted chunk plan needs and isn't already warm or in flight."""
+        cfg = self.config
+        if (
+            not getattr(cfg, "aot_warmup", False)
+            or self.pp_size > 1
+            or self.process_count > 1
+        ):
+            return
+        try:
+            plan = self._predict_chunk_plan(epoch)
+        except Exception as err:
+            logger.info("aot warmup: shape prediction failed (%s); skipped", err)
+            return
+        todo = {}
+        for sig, chunk_k, masked in plan:
+            avals = self._predict_batch_avals(sig, chunk_k, masked)
+            key = self._program_key(avals, chunk_k, spec_augment)
+            if (
+                key in self._aot_programs
+                or key in self._aot_futures
+                or key in todo
+            ):
+                continue
+            # jitted-fn construction stays on the caller thread
+            # (_train_step_cache is not thread-safe); only trace+compile
+            # moves to the pool
+            todo[key] = (self._get_train_step(spec_augment, chunk_k), avals)
+        if not todo:
+            return
+        state_avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+        )
+        rng_aval = jax.eval_shape(
+            lambda: jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), 1)
+        )
+        if self._aot_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._aot_pool = ThreadPoolExecutor(
+                max_workers=max(1, int(getattr(cfg, "aot_warmup_workers", 6))),
+                thread_name_prefix="kokoro-aot",
+            )
+
+        def build(fn, avals):
+            return fn.lower(state_avals, avals, rng_aval).compile()
+
+        t0 = time.perf_counter()
+        for key, (fn, avals) in todo.items():
+            self._aot_futures[key] = self._aot_pool.submit(build, fn, avals)
+        logger.info(
+            "aot warmup: %d programs submitted for epoch %d (%.1fms)",
+            len(todo), epoch + 1, (time.perf_counter() - t0) * 1e3,
+        )
+
+    def _resolve_aot(self, key):
+        """The warmed executable for a program key, joining an in-flight
+        compile if needed; None on miss or failure (jit fallback)."""
+        if getattr(self, "_aot_programs", None) is None:
+            return None
+        compiled = self._aot_programs.get(key)
+        if compiled is not None:
+            return compiled
+        fut = self._aot_futures.pop(key, None)
+        if fut is None:
+            return None
+        try:
+            compiled = fut.result()
+        except Exception as err:
+            logger.info("aot warmup: compile failed (%s); jit fallback", err)
+            return None
+        self._aot_programs[key] = compiled
+        return compiled
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
         spec_augment_on = (
             cfg.use_spec_augment and (epoch + 1) >= cfg.spec_augment_start_epoch
         )
+        # concurrent executable acquisition for the epoch's program ladder;
+        # overlaps the feature-cache fill below (no-op after the first epoch
+        # unless the plan or the SpecAugment gate introduces new programs)
+        self._warm_programs(epoch, spec_augment_on)
         self._epoch_sums: Dict[str, float] = {}
         self._epoch_steps = 0
         self._metric_queue: List = []
@@ -923,15 +1176,36 @@ class KokoroTrainer:
         if self._interbatch is not None:
             self._interbatch.start("step")
         t_first = time.perf_counter() if first_dispatch else 0.0
-        self.state, metrics = fn(self.state, device_batch, sub)
+        # AOT-warmed executable for this exact program, if the warmup
+        # predicted it (joins an in-flight compile; other loads keep
+        # overlapping on the pool); jit fallback on any miss or failure
+        aot_key = self._program_key(device_batch, scan_k, spec_augment)
+        step_fn = self._resolve_aot(aot_key)
+        via_aot = step_fn is not None
+        if not via_aot:
+            step_fn = fn
+        try:
+            self.state, metrics = step_fn(self.state, device_batch, sub)
+        except Exception:
+            if not via_aot:
+                raise
+            # aval mismatch etc.: input validation fails BEFORE execution
+            # (state not donated) — safe to retry through the jit path
+            logger.info(
+                "aot program call failed for %s k=%d; jit fallback",
+                host_batch["mel_specs"].shape, scan_k, exc_info=True,
+            )
+            self._aot_programs.pop(aot_key, None)
+            self.state, metrics = fn(self.state, device_batch, sub)
         if first_dispatch:
             # jit compiles (or loads from the persistent cache) synchronously
             # on the first call per program; this isolates program acquisition
             # cost from the warm epoch's feature-cache fill in bench logs.
             logger.info(
-                "first dispatch %s k=%d: %.1fs (compile/cache-load)",
+                "first dispatch %s k=%d: %.1fs (%s)",
                 host_batch["mel_specs"].shape, scan_k,
                 time.perf_counter() - t_first,
+                "aot-warmed" if via_aot else "compile/cache-load",
             )
         if self._interbatch is not None:
             self._interbatch.end("step")
