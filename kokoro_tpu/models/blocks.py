@@ -28,8 +28,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from kokoro_tpu.models.positional import apply_rope
-from kokoro_tpu.ops.fused_attention import fused_attention, fused_supported
+from kokoro_tpu.models.positional import apply_rope, apply_rope_heads_last
+from kokoro_tpu.ops.fused_attention import (
+    fused_attention,
+    fused_attention_packed,
+    fused_supported,
+)
 
 Dtype = Any
 
@@ -213,6 +217,53 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.num_heads, -1).transpose(0, 2, 1, 3)
 
+    def _packed_fused(
+        self,
+        query: jnp.ndarray,
+        q_positions: Optional[jnp.ndarray],
+        attn_rate: float,
+        head_dim: int,
+    ) -> jnp.ndarray:
+        """Causal self-attention on heads-LAST packed projections.
+
+        The entire path — projections, QK/V-RMSNorm, RoPE, the fused kernel,
+        the output projection — stays in (B, T, H, Dh)/(B, T, D) layouts
+        where every reshape is free, so no head transpose ever materializes.
+        Numerics match the head-split fused branch exactly: per-head norms
+        act on the same last axis, apply_rope_heads_last is the same
+        rotation, and the packed kernel's per-panel PRNG stream is
+        bit-identical (ops/fused_attention.py::fused_attention_packed)."""
+        global FUSED_TRACE_COUNT
+        FUSED_TRACE_COUNT += 1
+        B, T, _ = query.shape
+        H = self.num_heads
+
+        def heads_last(dense, norm, rope_pos):
+            h = dense(query).reshape(B, T, H, head_dim)
+            if self.qk_norm and norm is not None:
+                h = norm(h)
+            if self.use_rope and rope_pos is not None:
+                h = apply_rope_heads_last(h, rope_pos)
+            return h.reshape(B, T, self.d_model).astype(self.dtype)
+
+        # same position conventions as the uncached head-split branch below
+        pos = jnp.arange(T) if q_positions is None else q_positions
+        q = heads_last(self.w_q, self.q_norm if self.qk_norm else None, pos)
+        k = heads_last(
+            self.w_k, self.k_norm if self.qk_norm else None, jnp.arange(T)
+        )
+        v = heads_last(self.w_v, self.v_norm if self.qk_norm else None, None)
+        out = fused_attention_packed(
+            q, k, v,
+            num_heads=H,
+            scale=1.0 / float(head_dim) ** 0.5,
+            dropout_rate=attn_rate,
+            dropout_rng=(
+                self.make_rng("dropout") if attn_rate > 0.0 else None
+            ),
+        )
+        return self.w_o(out)
+
     def project_kv(self, memory: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Precompute cross-attention K/V for a fixed encoder memory."""
         k = self._heads(self.w_k(memory))
@@ -238,6 +289,26 @@ class MultiHeadAttention(nn.Module):
         """Returns ``(output, updated_kv_cache_or_None)``."""
         B, Tq, _ = query.shape
         head_dim = self.d_model // self.num_heads
+
+        # Transpose-free fused path, decided BEFORE any head split: causal
+        # self-attention at fused-kernel lengths runs on heads-last packed
+        # projections end to end — the (B,T,H,Dh) <-> (B,H,T,Dh) transposes
+        # the head-split layout forces at the custom-call boundary measured
+        # ~33 GB/step of layout copies (docs/trace_train_step_r5.json).
+        attn_rate = 0.0 if deterministic else self.dropout
+        if (
+            self.use_flash
+            and causal
+            and kv_cache is None
+            and precomputed_kv is None
+            and key is None
+            and value is None
+            and not self.use_alibi
+            and _fused_enabled(Tq, Tq, head_dim, True, attn_rate)
+        ):
+            return self._packed_fused(
+                query, q_positions, attn_rate, head_dim
+            ), None
 
         q = self._heads(self.w_q(query))  # (B, H, Tq, Dh)
         if self.qk_norm:

@@ -82,3 +82,22 @@ def apply_rope(
     r1 = x1 * cos - x2 * sin
     r2 = x1 * sin + x2 * cos
     return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+
+
+def apply_rope_heads_last(
+    x: jnp.ndarray, positions: jnp.ndarray, base: float = 10000.0
+) -> jnp.ndarray:
+    """:func:`apply_rope` for the heads-last ``(B, T, H, head_dim)`` layout
+    (the transpose-free fused-attention path, ops/fused_attention.py).
+
+    Identical rotation per (t, head_dim) — only the broadcast differs: the
+    ``(T, half)`` tables gain a singleton heads axis.  Equivalence with
+    ``apply_rope`` on the transposed layout is unit-tested."""
+    head_dim = x.shape[-1]
+    cos, sin = rope_cos_sin(positions, head_dim, base, dtype=x.dtype)
+    cos, sin = cos[:, None, :], sin[:, None, :]  # (T, 1, half)
+    x_pairs = x.reshape(*x.shape[:-1], head_dim // 2, 2)
+    x1, x2 = x_pairs[..., 0], x_pairs[..., 1]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    return jnp.stack([r1, r2], axis=-1).reshape(x.shape)

@@ -74,7 +74,21 @@ def _dropout_mask(shape, keep: float):
     return bits < thresh
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype):
+def _panel_index(packed_heads: int):
+    """The (batch*head) panel id this program instance computes.
+
+    The packed layout runs a (B, H) grid; its panel id b*H + h equals the
+    folded (B*H,) grid's program_id, so the per-panel PRNG stream — and
+    therefore every dropout mask — is IDENTICAL across the two layouts."""
+    if packed_heads:
+        return pl.program_id(0) * packed_heads + pl.program_id(1)
+    return pl.program_id(0)
+
+
+def _fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype,
+    packed_heads: int = 0,
+):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (T, Dh)
     T = q.shape[0]
     s = jax.lax.dot_general(
@@ -86,7 +100,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype):
     p = jax.nn.softmax(s, axis=-1)
     if rate > 0.0:
         keep = 1.0 - rate
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], _panel_index(packed_heads))
         p = jnp.where(_dropout_mask((T, T), keep), p * (1.0 / keep), 0.0)
     o = jax.lax.dot_general(
         p.astype(dtype), v, (((1,), (0,)), ((), ())),
@@ -97,7 +111,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype):
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    *, scale, rate, dtype,
+    *, scale, rate, dtype, packed_heads: int = 0,
 ):
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     T = q.shape[0]
@@ -113,7 +127,7 @@ def _bwd_kernel(
     if rate > 0.0:
         keep = 1.0 - rate
         # identical seeding + first-draw order -> identical mask as forward
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], _panel_index(packed_heads))
         mask = _dropout_mask((T, T), keep)
         pd = jnp.where(mask, p * (1.0 / keep), 0.0)
     else:
@@ -202,6 +216,83 @@ def _call_bwd(cfg, seed, q, k, v, do):
     )(seed, q, k, v, do)
 
 
+def _call_fwd_packed(cfg, seed, q, k, v):
+    scale, rate, H = cfg
+    B, T, D = q.shape
+    Dh = D // H
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, rate=rate, dtype=q.dtype, packed_heads=H
+    )
+    tile = lambda: pl.BlockSpec((1, T, Dh), lambda b, h, *_: (b, 0, h),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[tile(), tile(), tile()],
+        out_specs=tile(),
+    )
+    flops_mm = 4 * T * T * Dh
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm * B * H,
+            bytes_accessed=4 * B * T * D * q.dtype.itemsize,
+            transcendentals=B * H * T * T,
+        ),
+        interpret=_interpret(),
+    )(seed, q, k, v)
+
+
+def _call_bwd_packed(cfg, seed, q, k, v, do):
+    scale, rate, H = cfg
+    B, T, D = q.shape
+    Dh = D // H
+    kern = functools.partial(
+        _bwd_kernel, scale=scale, rate=rate, dtype=q.dtype, packed_heads=H
+    )
+    tile = lambda: pl.BlockSpec((1, T, Dh), lambda b, h, *_: (b, 0, h),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[tile(), tile(), tile(), tile()],
+        out_specs=[tile(), tile(), tile()],
+    )
+    shape = jax.ShapeDtypeStruct((B, T, D), q.dtype)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * T * Dh * B * H,
+            bytes_accessed=7 * B * T * D * q.dtype.itemsize,
+            transcendentals=B * H * T * T,
+        ),
+        interpret=_interpret(),
+    )(seed, q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_packed(cfg, seed, q, k, v):
+    return _call_fwd_packed(cfg, seed, q, k, v)
+
+
+def _fused_packed_fwd(cfg, seed, q, k, v):
+    return _call_fwd_packed(cfg, seed, q, k, v), (seed, q, k, v)
+
+
+def _fused_packed_bwd(cfg, res, do):
+    seed, q, k, v = res
+    dq, dk, dv = _call_bwd_packed(cfg, seed, q, k, v, do)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dseed, dq, dk, dv
+
+
+_fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(cfg, seed, q, k, v):
     return _call_fwd(cfg, seed, q, k, v)
@@ -268,3 +359,54 @@ def fused_attention(
     if pad:
         out = out[:, :T]
     return out.reshape(B, H, T, Dh)
+
+
+def fused_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Causal self-attention on PACKED projections: (B, T, H*Dh) -> same.
+
+    Transpose-free variant of :func:`fused_attention`: the kernel grid is
+    (B, H) and panel (b, h) reads/writes columns [h*Dh, (h+1)*Dh) of the raw
+    projection output directly, so NO (B,T,H,Dh) <-> (B,H,T,Dh) data movement
+    exists anywhere — the r5 device trace showed those transposes
+    materializing as ~33 GB/step of layout copies at the custom-call boundary
+    (the top 'data formatting' consumer, 11.3% of device step time), because
+    XLA cannot fuse a transpose INTO a custom call.
+
+    Semantics are exactly :func:`fused_attention`'s (same kernels, same
+    causal/padding invariants — see its docstring for the T-padding
+    argument).  Dropout masks are BIT-IDENTICAL to the folded layout's: the
+    (B, H) grid's panel id b*H + h equals the (B*H,) grid's program_id, so
+    both layouts seed the same per-panel PRNG stream.
+    """
+    B, T, D = q.shape
+    if D % num_heads:
+        raise ValueError(f"d_model {D} not divisible by num_heads {num_heads}")
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
+    else:
+        seed = jnp.zeros((), jnp.int32)
+    Tp = -(-T // 128) * 128
+    pad = Tp - T
+
+    def padded(x):
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+    out = _fused_packed(
+        (float(scale), float(dropout_rate), int(num_heads)),
+        seed[None],
+        padded(q), padded(k), padded(v),
+    )
+    if pad:
+        out = out[:, :T]
+    return out

@@ -254,6 +254,62 @@ def dropout_semantics(T=128, dh=64, rate=0.1, seed=3):
     }
 
 
+def packed_identity(T=512, dh=64, B=4, H=8, rate=0.1, seed=5):
+    """The packed (B, T, H*Dh) layout must be BIT-IDENTICAL to the folded
+    (B*H, T, Dh) layout under dropout: panel id b*H + h seeds the same
+    per-panel PRNG stream, so outputs AND input grads must agree exactly —
+    any mismatch means the transpose-free path draws different masks than
+    the layout it replaced."""
+    import jax
+    import jax.numpy as jnp
+
+    from kokoro_tpu.ops.fused_attention import _fused, _fused_packed
+
+    rng = np.random.default_rng(seed)
+    shape = (B, H, T, dh)
+    q, k, v, co = (
+        jnp.asarray(rng.normal(size=shape), jnp.bfloat16) for _ in range(4)
+    )
+    scale = 1.0 / dh**0.5
+    seed_arr = jnp.asarray([12345], jnp.int32)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+    fold = lambda x: x.reshape(B * H, T, dh)
+
+    def loss_folded(q, k, v):
+        out = _fused((scale, rate), seed_arr, fold(q), fold(k), fold(v))
+        return jnp.sum(out.astype(jnp.float32) * fold(co).astype(jnp.float32))
+
+    def loss_packed(qp, kp, vp):
+        out = _fused_packed((scale, rate, H), seed_arr, qp, kp, vp)
+        return jnp.sum(out.astype(jnp.float32) * pack(co).astype(jnp.float32))
+
+    out_f = jax.jit(
+        lambda q, k, v: _fused((scale, rate), seed_arr, fold(q), fold(k), fold(v))
+    )(q, k, v)
+    out_p = jax.jit(
+        lambda q, k, v: _fused_packed((scale, rate, H), seed_arr, pack(q), pack(k), pack(v))
+    )(q, k, v)
+    out_f_btd = np.asarray(
+        out_f.reshape(B, H, T, dh).transpose(0, 2, 1, 3).reshape(B, T, H * dh),
+        np.float32,
+    )
+    fwd_mismatches = int(np.sum(out_f_btd != np.asarray(out_p, np.float32)))
+
+    gf = jax.jit(jax.grad(loss_folded, argnums=(0, 1, 2)))(q, k, v)
+    gp = jax.jit(jax.grad(loss_packed, argnums=(0, 1, 2)))(
+        pack(q), pack(k), pack(v)
+    )
+    grad_mismatches = 0
+    for a, b in zip(gf, gp):
+        a_btd = np.asarray(pack(a), np.float32)
+        grad_mismatches += int(np.sum(a_btd != np.asarray(b, np.float32)))
+    return {
+        "fwd_bit_mismatches": fwd_mismatches,
+        "grad_bit_mismatches": grad_mismatches,
+        "elements": int(B * T * H * dh),
+    }
+
+
 def bench_pair(T=512, dh=64, B=32, H=8, iters=30):
     """Wall time of fused vs einsum, fwd+bwd, dropout off/on, bf16."""
     import jax
@@ -328,6 +384,22 @@ def bench_pair(T=512, dh=64, B=32, H=8, iters=30):
             ).astype(jnp.float32) * co.astype(jnp.float32)
         ), q, k, v,
     )
+
+    # transpose-free packed layout: operands ARE the packed projections, so
+    # this times what the model actually pays (no boundary layout copies)
+    from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+    qp, kp, vp, cop = (
+        x.transpose(0, 2, 1, 3).reshape(B, T, H * dh) for x in (q, k, v, co)
+    )
+    rows["packed_dropout_ms"] = timed(
+        lambda q_, k_, v_: jnp.sum(
+            fused_attention_packed(
+                q_, k_, v_, num_heads=H, scale=scale,
+                dropout_rate=0.1, dropout_rng=key,
+            ).astype(jnp.float32) * cop.astype(jnp.float32)
+        ), qp, kp, vp,
+    )
     return {k_: round(v_, 3) for k_, v_ in rows.items()}
 
 
@@ -351,14 +423,28 @@ def main() -> int:
     from kokoro_tpu.models.blocks import _flash_attention
     from kokoro_tpu.ops.fused_attention import fused_attention
 
+    from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     fused_fn = lambda q, k, v, s: fused_attention(q, k, v, scale=s)
     flash_fn = lambda q, k, v, s: _flash_attention(q, k, v, causal=True, scale=s)
+
+    def packed_fn(q, k, v, s):
+        # compare_paths supplies (B, H, T, dh); adapt to the packed layout
+        # and back so the einsum reference applies unchanged
+        B, H, T, dh = q.shape
+        pk = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        out = fused_attention_packed(
+            pk(q), pk(k), pk(v), num_heads=H, scale=s
+        )
+        return out.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
 
     cases = {}
     for label, fn, T, dh, dtype in [
         ("fused_T512_bf16", fused_fn, 512, 64, jnp.bfloat16),
         ("fused_T896_bf16", fused_fn, 896, 64, jnp.bfloat16),
+        ("packed_T512_bf16", packed_fn, 512, 64, jnp.bfloat16),
+        ("packed_T896_bf16", packed_fn, 896, 64, jnp.bfloat16),
         ("flash_T1024_bf16", flash_fn, 1024, 64, jnp.bfloat16),
         ("flash_T1280_bf16", flash_fn, 1280, 64, jnp.bfloat16),
     ]:
@@ -373,6 +459,9 @@ def main() -> int:
         log(f"module param grads (fused vs einsum, f32): {worst_params}")
         drop = dropout_semantics()
         log(f"dropout semantics: {drop}")
+
+    ident = packed_identity()
+    log(f"packed layout identity (bit-exact vs folded, dropout on): {ident}")
 
     bench = {} if args.skip_bench else {
         "T512_B32_H8_fwdbwd": bench_pair(512, 64),
@@ -396,6 +485,8 @@ def main() -> int:
         ("dropout.pd_fwd_bwd", drop["pd_fwd_bwd_max_rel_err"], TOL["f32_grad"]),
         ("dropout.grad_fd", drop["grad_fd_rel_err"], TOL["fd_rel"]),
         ("dropout.deterministic", 0.0 if drop["same_seed_deterministic"] else 1.0, 0.5),
+        ("packed.fwd_bit_identity", float(ident["fwd_bit_mismatches"]), 0.0),
+        ("packed.grad_bit_identity", float(ident["grad_bit_mismatches"]), 0.0),
     ]
     failures = [
         {"check": n, "value": v, "tol": t} for n, v, t in checks if not v <= t
@@ -409,6 +500,7 @@ def main() -> int:
         "kernel_vs_einsum": cases,
         "module_param_grads_worst": worst_params,
         "dropout_semantics": drop,
+        "packed_layout_identity": ident,
         "bench_ms": bench,
         "n_checks": len(checks),
         "failures": failures,

@@ -195,3 +195,138 @@ class TestInModel:
             np.asarray(masked_einsum)[0, :96],
             rtol=2e-5, atol=2e-5,
         )
+
+
+class TestPackedLayout:
+    """Transpose-free packed entry (fused_attention_packed): same kernels on
+    (B, T, H*Dh) operands, panel (b, h) = folded program b*H + h."""
+
+    @pytest.mark.parametrize("T,H,dh", [(128, 2, 64), (256, 4, 64), (128, 1, 128)])
+    def test_packed_equals_folded_layout(self, T, H, dh):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(11)
+        bhtd = (2, H, T, dh)
+        q = jnp.asarray(rng.normal(size=bhtd), jnp.float32)
+        k = jnp.asarray(rng.normal(size=bhtd), jnp.float32)
+        v = jnp.asarray(rng.normal(size=bhtd), jnp.float32)
+        scale = 1.0 / dh**0.5
+        out_folded = fused_attention(q, k, v, scale=scale)  # (B,H,T,dh)
+
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(2, T, H * dh)
+        out_packed = fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_packed),
+            np.asarray(pack(out_folded)),
+            rtol=2e-6, atol=2e-6,
+        )
+
+    def test_packed_gradients_match_einsum(self):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(12)
+        B, H, T, dh = 1, 2, 128, 64
+        q = jnp.asarray(rng.normal(size=(B, T, H * dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H * dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H * dh)), jnp.float32)
+        co = jnp.asarray(rng.normal(size=(B, T, H * dh)), jnp.float32)
+        scale = 0.125
+
+        unpack = lambda x: x.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+
+        def loss_packed(q, k, v):
+            out = fused_attention_packed(q, k, v, num_heads=H, scale=scale)
+            return jnp.sum(out * co)
+
+        def loss_ref(q, k, v):
+            ref = einsum_reference(unpack(q), unpack(k), unpack(v), scale)
+            return jnp.sum(ref.transpose(0, 2, 1, 3).reshape(B, T, H * dh) * co)
+
+        g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gp, gr, name in zip(g_packed, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gr), rtol=5e-5, atol=5e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    @pytest.mark.parametrize("T", [200, 432])
+    def test_packed_padding_matches_einsum(self, T):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(13)
+        B, H, dh = 1, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
+        scale = 1.0 / dh**0.5
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        out = fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale
+        )
+        ref = pack(einsum_reference(q, k, v, scale))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+class TestRopeHeadsLast:
+    def test_equivalent_to_heads_first(self):
+        from kokoro_tpu.models.positional import (
+            apply_rope,
+            apply_rope_heads_last,
+        )
+
+        rng = np.random.default_rng(14)
+        B, H, T, dh = 2, 4, 96, 64
+        x_bhtd = jnp.asarray(rng.normal(size=(B, H, T, dh)), jnp.float32)
+        pos = jnp.arange(T)
+        ref = apply_rope(x_bhtd, pos)
+        got = apply_rope_heads_last(x_bhtd.transpose(0, 2, 1, 3), pos)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.transpose(0, 2, 1, 3)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_nontrivial_positions(self):
+        from kokoro_tpu.models.positional import (
+            apply_rope,
+            apply_rope_heads_last,
+        )
+
+        rng = np.random.default_rng(15)
+        x = jnp.asarray(rng.normal(size=(1, 2, 8, 32)), jnp.float32)  # BHTd
+        pos = jnp.asarray([5, 9, 2, 0, 7, 1, 3, 11])
+        ref = apply_rope(x, pos)
+        got = apply_rope_heads_last(x.transpose(0, 2, 1, 3), pos)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.transpose(0, 2, 1, 3)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+class TestPackedInModel:
+    def test_multihead_qknorm_packed_matches_einsum(self):
+        """H=4 with QK/V-RMSNorm + RoPE: the packed early branch must equal
+        the einsum module (same params)."""
+        rng = np.random.default_rng(16)
+        x = jnp.asarray(rng.normal(size=(2, 128, 256)), jnp.float32)
+        mk = lambda flash: MultiHeadAttention(
+            256, 4, 0.0, use_rope=True, use_flash=flash, qk_norm=True
+        )
+        a_plain, a_packed = mk(False), mk(True)
+        params = a_plain.init(jax.random.PRNGKey(0), x, causal=True)
+        o_plain, _ = a_plain.apply(params, x, causal=True)
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        count0 = blocks.FUSED_TRACE_COUNT
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            o_packed, _ = a_packed.apply(params, x, causal=True)
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+        assert blocks.FUSED_TRACE_COUNT == count0 + 1
+        np.testing.assert_allclose(
+            np.asarray(o_packed), np.asarray(o_plain), rtol=2e-5, atol=2e-5
+        )
