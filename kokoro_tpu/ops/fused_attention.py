@@ -74,21 +74,7 @@ def _dropout_mask(shape, keep: float):
     return bits < thresh
 
 
-def _panel_index(packed_heads: int):
-    """The (batch*head) panel id this program instance computes.
-
-    The packed layout runs a (B, H) grid; its panel id b*H + h equals the
-    folded (B*H,) grid's program_id, so the per-panel PRNG stream — and
-    therefore every dropout mask — is IDENTICAL across the two layouts."""
-    if packed_heads:
-        return pl.program_id(0) * packed_heads + pl.program_id(1)
-    return pl.program_id(0)
-
-
-def _fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype,
-    packed_heads: int = 0,
-):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, dtype):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (T, Dh)
     T = q.shape[0]
     s = jax.lax.dot_general(
@@ -100,7 +86,7 @@ def _fwd_kernel(
     p = jax.nn.softmax(s, axis=-1)
     if rate > 0.0:
         keep = 1.0 - rate
-        pltpu.prng_seed(seed_ref[0], _panel_index(packed_heads))
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         p = jnp.where(_dropout_mask((T, T), keep), p * (1.0 / keep), 0.0)
     o = jax.lax.dot_general(
         p.astype(dtype), v, (((1,), (0,)), ((), ())),
@@ -111,7 +97,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    *, scale, rate, dtype, packed_heads: int = 0,
+    *, scale, rate, dtype,
 ):
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     T = q.shape[0]
@@ -127,7 +113,7 @@ def _bwd_kernel(
     if rate > 0.0:
         keep = 1.0 - rate
         # identical seeding + first-draw order -> identical mask as forward
-        pltpu.prng_seed(seed_ref[0], _panel_index(packed_heads))
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         mask = _dropout_mask((T, T), keep)
         pd = jnp.where(mask, p * (1.0 / keep), 0.0)
     else:
@@ -216,18 +202,124 @@ def _call_bwd(cfg, seed, q, k, v, do):
     )(seed, q, k, v, do)
 
 
+def _heads_per_panel(H: int, Dh: int) -> int:
+    """Sub-heads one packed panel covers.
+
+    Mosaic requires the last block dim to be 128-divisible or equal to the
+    full array dim, so a lone Dh=64 column slice is not a legal block: panels
+    cover the smallest head group whose width satisfies the rule (2 heads at
+    Dh=64, 1 at Dh=128), falling back to all heads (the full packed dim,
+    always legal) when no multiple of Dh hits 128."""
+    for hpp in range(1, H + 1):
+        if H % hpp == 0 and (hpp * Dh) % 128 == 0:
+            return hpp
+    return H
+
+
+def _fwd_kernel_packed(
+    seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, scale, rate, dtype, num_heads, hpp,
+):
+    """Packed-layout forward: one (T, hpp*Dh) panel = hpp sub-heads computed
+    sequentially (attention never mixes across the head boundary; the PRNG
+    is re-seeded per sub-head so every head's dropout stream is identical to
+    the folded layout's)."""
+    qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]  # (T, hpp*Dh)
+    T, W = qb.shape
+    Dh = W // hpp
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    causal = col <= row
+    for j in range(hpp):
+        sl = slice(j * Dh, (j + 1) * Dh)
+        q, k, v = qb[:, sl], kb[:, sl], vb[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(causal, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        if rate > 0.0:
+            keep = 1.0 - rate
+            head = pl.program_id(1) * hpp + j
+            pltpu.prng_seed(
+                seed_ref[0], pl.program_id(0) * num_heads + head
+            )
+            p = jnp.where(_dropout_mask((T, T), keep), p * (1.0 / keep), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale, rate, dtype, num_heads, hpp,
+):
+    qb, kb, vb, dob = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    T, W = qb.shape
+    Dh = W // hpp
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    causal = col <= row
+    for j in range(hpp):
+        sl = slice(j * Dh, (j + 1) * Dh)
+        q, k, v, do = qb[:, sl], kb[:, sl], vb[:, sl], dob[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(causal, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        if rate > 0.0:
+            keep = 1.0 - rate
+            head = pl.program_id(1) * hpp + j
+            pltpu.prng_seed(
+                seed_ref[0], pl.program_id(0) * num_heads + head
+            )
+            mask = _dropout_mask((T, T), keep)
+            pd = jnp.where(mask, p * (1.0 / keep), 0.0)
+        else:
+            pd = p
+        pd16 = pd.astype(dtype)
+        dv = jax.lax.dot_general(
+            pd16, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpd = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.where(mask, dpd * (1.0 / keep), 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = (ds * scale).astype(dtype)
+        dq = jax.lax.dot_general(
+            ds16, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds16, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
 def _call_fwd_packed(cfg, seed, q, k, v):
     scale, rate, H = cfg
     B, T, D = q.shape
     Dh = D // H
+    hpp = _heads_per_panel(H, Dh)
     kern = functools.partial(
-        _fwd_kernel, scale=scale, rate=rate, dtype=q.dtype, packed_heads=H
+        _fwd_kernel_packed, scale=scale, rate=rate, dtype=q.dtype,
+        num_heads=H, hpp=hpp,
     )
-    tile = lambda: pl.BlockSpec((1, T, Dh), lambda b, h, *_: (b, 0, h),
+    W = hpp * Dh
+    tile = lambda: pl.BlockSpec((1, T, W), lambda b, h, *_: (b, 0, h),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H),
+        grid=(B, H // hpp),
         in_specs=[tile(), tile(), tile()],
         out_specs=tile(),
     )
@@ -249,14 +341,17 @@ def _call_bwd_packed(cfg, seed, q, k, v, do):
     scale, rate, H = cfg
     B, T, D = q.shape
     Dh = D // H
+    hpp = _heads_per_panel(H, Dh)
     kern = functools.partial(
-        _bwd_kernel, scale=scale, rate=rate, dtype=q.dtype, packed_heads=H
+        _bwd_kernel_packed, scale=scale, rate=rate, dtype=q.dtype,
+        num_heads=H, hpp=hpp,
     )
-    tile = lambda: pl.BlockSpec((1, T, Dh), lambda b, h, *_: (b, 0, h),
+    W = hpp * Dh
+    tile = lambda: pl.BlockSpec((1, T, W), lambda b, h, *_: (b, 0, h),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H),
+        grid=(B, H // hpp),
         in_specs=[tile(), tile(), tile(), tile()],
         out_specs=[tile(), tile(), tile()],
     )
