@@ -109,6 +109,18 @@ def bench_end_to_end(tmp_root: Path, **overrides) -> dict:
     from kokoro_tpu.config import get_high_performance_config
     from kokoro_tpu.training.trainer import KokoroTrainer
 
+    # surface the trainer's program-acquisition diagnostics (aot warmup
+    # submissions, per-program first-dispatch compile/load timings) in the
+    # bench log — the warm-epoch number is opaque without them
+    import logging as _logging
+
+    _h = _logging.StreamHandler(sys.stderr)
+    _h.setFormatter(_logging.Formatter("[trainer] %(message)s"))
+    _tl = _logging.getLogger("kokoro_tpu.training.trainer")
+    if not any(isinstance(x, _logging.StreamHandler) for x in _tl.handlers):
+        _tl.addHandler(_h)
+    _tl.setLevel(_logging.INFO)
+
     log = lambda *a: print("[e2e]", *a, file=sys.stderr, flush=True)
     corpus = tmp_root / "bench_corpus_v3"
     if not (corpus / "metadata.csv").exists():

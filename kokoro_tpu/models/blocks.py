@@ -33,6 +33,7 @@ from kokoro_tpu.ops.fused_attention import (
     fused_attention,
     fused_attention_packed,
     fused_supported,
+    fused_xattn_supported,
 )
 
 Dtype = Any
@@ -77,6 +78,25 @@ def _fused_enabled(
     if not (on_tpu or (FUSED_ON_CPU_FOR_TESTS and rate == 0.0)):
         return False
     return fused_supported(q_len, kv_len, head_dim, causal)
+
+
+def _fused_xattn_enabled(
+    q_len: int, kv_len: int, head_dim: int, rate: float
+) -> bool:
+    """Gate for the NON-causal packed kernel (cross-attention).
+
+    The r5 optimized-HLO inspection found the single largest data-formatting
+    consumer was the flax attn_dropout on the (B, H, T, T) CROSS-attention
+    weights — in this FastSpeech-style model the decoder's memory is the
+    length-regulated encoder output at the SAME frame length, so cross
+    weights are a full (T, T) problem per head and the einsum path
+    generates, transposes, and re-reads u32 mask bits through HBM (~19 ms +
+    mask-select traffic per step at B32xT512).  Same backend/shape rules as
+    `_fused_enabled`, minus causality."""
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or (FUSED_ON_CPU_FOR_TESTS and rate == 0.0)):
+        return False
+    return fused_xattn_supported(q_len, kv_len, head_dim)
 
 
 def _flash_supported(
@@ -264,6 +284,54 @@ class MultiHeadAttention(nn.Module):
         )
         return self.w_o(out)
 
+    def _packed_fused_cross(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray],
+        attn_rate: float,
+        head_dim: int,
+    ) -> jnp.ndarray:
+        """Non-causal packed attention for the decoder's cross path.
+
+        Same transpose-free layout story as `_packed_fused`; the einsum
+        path's (B, S) suffix key_padding_mask becomes a per-row valid
+        length (padding is always a suffix here: bucket collate right-pads,
+        reference dataset.py:871-922), masked in-kernel as col >= len.  The
+        kernel draws attention-weight dropout from the in-core PRNG, so the
+        (B, H, T, T) flax mask-bit tensor the einsum path materializes —
+        the r5 trace's top data-formatting consumer — never exists."""
+        global FUSED_TRACE_COUNT
+        FUSED_TRACE_COUNT += 1
+        B, T, _ = query.shape
+        H = self.num_heads
+
+        def heads_last(dense, norm, x):
+            h = dense(x).reshape(B, T, H, head_dim)
+            if self.qk_norm and norm is not None:
+                h = norm(h)
+            return h.reshape(B, T, self.d_model).astype(self.dtype)
+
+        q = heads_last(self.w_q, self.q_norm if self.qk_norm else None, query)
+        k = heads_last(self.w_k, self.k_norm if self.qk_norm else None, key)
+        v = heads_last(self.w_v, self.v_norm if self.qk_norm else None, key)
+        if key_padding_mask is None:
+            kv_lens = None
+        else:
+            kv_lens = (T - jnp.sum(key_padding_mask, axis=-1)).astype(jnp.int32)
+        out = fused_attention_packed(
+            q, k, v,
+            num_heads=H,
+            scale=1.0 / float(head_dim) ** 0.5,
+            dropout_rate=attn_rate,
+            dropout_rng=(
+                self.make_rng("dropout") if attn_rate > 0.0 else None
+            ),
+            causal=False,
+            kv_lengths=kv_lens,
+        )
+        return self.w_o(out)
+
     def project_kv(self, memory: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Precompute cross-attention K/V for a fixed encoder memory."""
         k = self._heads(self.w_k(memory))
@@ -308,6 +376,21 @@ class MultiHeadAttention(nn.Module):
         ):
             return self._packed_fused(
                 query, q_positions, attn_rate, head_dim
+            ), None
+        if (
+            self.use_flash
+            and not causal
+            and kv_cache is None
+            and precomputed_kv is None
+            and key is not None
+            and (value is None or value is key)
+            and not self.use_alibi
+            and not self.use_rope  # cross_attn is rope-free (DecoderLayer)
+            and Tq == key.shape[1]
+            and _fused_xattn_enabled(Tq, key.shape[1], head_dim, attn_rate)
+        ):
+            return self._packed_fused_cross(
+                query, key, key_padding_mask, attn_rate, head_dim
             ), None
 
         q = self._heads(self.w_q(query))  # (B, H, Tq, Dh)

@@ -217,26 +217,37 @@ def _heads_per_panel(H: int, Dh: int) -> int:
 
 
 def _fwd_kernel_packed(
-    seed_ref, q_ref, k_ref, v_ref, o_ref,
-    *, scale, rate, dtype, num_heads, hpp,
+    seed_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
+    *, scale, rate, dtype, num_heads, hpp, causal,
 ):
     """Packed-layout forward: one (T, hpp*Dh) panel = hpp sub-heads computed
     sequentially (attention never mixes across the head boundary; the PRNG
     is re-seeded per sub-head so every head's dropout stream is identical to
-    the folded layout's)."""
+    the folded layout's).
+
+    ``causal=False`` is the cross-attention variant: instead of the causal
+    triangle, keys at ``col >= lens_ref[b]`` are masked — the einsum path's
+    suffix key_padding_mask semantics (blocks.py), with the batch row's
+    valid length prefetched as a scalar.  The r5 HLO showed the flax
+    attn_dropout on the (B, H, T, T) CROSS weights as the single largest
+    data-formatting consumer (u32 mask bits generated, transposed, and
+    re-read); here the mask never exists and the scores never leave VMEM."""
     qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]  # (T, hpp*Dh)
     T, W = qb.shape
     Dh = W // hpp
     row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    causal = col <= row
+    if causal:
+        visible = col <= row
+    else:
+        visible = col < lens_ref[pl.program_id(0)]
     for j in range(hpp):
         sl = slice(j * Dh, (j + 1) * Dh)
         q, k, v = qb[:, sl], kb[:, sl], vb[:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        s = jnp.where(causal, s, NEG_INF)
+        s = jnp.where(visible, s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
         if rate > 0.0:
             keep = 1.0 - rate
@@ -253,22 +264,25 @@ def _fwd_kernel_packed(
 
 
 def _bwd_kernel_packed(
-    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    *, scale, rate, dtype, num_heads, hpp,
+    seed_ref, lens_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale, rate, dtype, num_heads, hpp, causal,
 ):
     qb, kb, vb, dob = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     T, W = qb.shape
     Dh = W // hpp
     row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    causal = col <= row
+    if causal:
+        visible = col <= row
+    else:
+        visible = col < lens_ref[pl.program_id(0)]
     for j in range(hpp):
         sl = slice(j * Dh, (j + 1) * Dh)
         q, k, v, do = qb[:, sl], kb[:, sl], vb[:, sl], dob[:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        s = jnp.where(causal, s, NEG_INF)
+        s = jnp.where(visible, s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
         if rate > 0.0:
             keep = 1.0 - rate
@@ -305,20 +319,20 @@ def _bwd_kernel_packed(
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _call_fwd_packed(cfg, seed, q, k, v):
-    scale, rate, H = cfg
+def _call_fwd_packed(cfg, seed, lens, q, k, v):
+    scale, rate, H, causal = cfg
     B, T, D = q.shape
     Dh = D // H
     hpp = _heads_per_panel(H, Dh)
     kern = functools.partial(
         _fwd_kernel_packed, scale=scale, rate=rate, dtype=q.dtype,
-        num_heads=H, hpp=hpp,
+        num_heads=H, hpp=hpp, causal=causal,
     )
     W = hpp * Dh
     tile = lambda: pl.BlockSpec((1, T, W), lambda b, h, *_: (b, 0, h),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // hpp),
         in_specs=[tile(), tile(), tile()],
         out_specs=tile(),
@@ -334,23 +348,23 @@ def _call_fwd_packed(cfg, seed, q, k, v):
             transcendentals=B * H * T * T,
         ),
         interpret=_interpret(),
-    )(seed, q, k, v)
+    )(seed, lens, q, k, v)
 
 
-def _call_bwd_packed(cfg, seed, q, k, v, do):
-    scale, rate, H = cfg
+def _call_bwd_packed(cfg, seed, lens, q, k, v, do):
+    scale, rate, H, causal = cfg
     B, T, D = q.shape
     Dh = D // H
     hpp = _heads_per_panel(H, Dh)
     kern = functools.partial(
         _bwd_kernel_packed, scale=scale, rate=rate, dtype=q.dtype,
-        num_heads=H, hpp=hpp,
+        num_heads=H, hpp=hpp, causal=causal,
     )
     W = hpp * Dh
     tile = lambda: pl.BlockSpec((1, T, W), lambda b, h, *_: (b, 0, h),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // hpp),
         in_specs=[tile(), tile(), tile(), tile()],
         out_specs=[tile(), tile(), tile()],
@@ -366,23 +380,24 @@ def _call_bwd_packed(cfg, seed, q, k, v, do):
             transcendentals=B * H * T * T,
         ),
         interpret=_interpret(),
-    )(seed, q, k, v, do)
+    )(seed, lens, q, k, v, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_packed(cfg, seed, q, k, v):
-    return _call_fwd_packed(cfg, seed, q, k, v)
+def _fused_packed(cfg, seed, lens, q, k, v):
+    return _call_fwd_packed(cfg, seed, lens, q, k, v)
 
 
-def _fused_packed_fwd(cfg, seed, q, k, v):
-    return _call_fwd_packed(cfg, seed, q, k, v), (seed, q, k, v)
+def _fused_packed_fwd(cfg, seed, lens, q, k, v):
+    return _call_fwd_packed(cfg, seed, lens, q, k, v), (seed, lens, q, k, v)
 
 
 def _fused_packed_bwd(cfg, res, do):
-    seed, q, k, v = res
-    dq, dk, dv = _call_bwd_packed(cfg, seed, q, k, v, do)
+    seed, lens, q, k, v = res
+    dq, dk, dv = _call_bwd_packed(cfg, seed, lens, q, k, v, do)
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
-    return dseed, dq, dk, dv
+    dlens = np.zeros(lens.shape, jax.dtypes.float0)
+    return dseed, dlens, dq, dk, dv
 
 
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
@@ -465,22 +480,33 @@ def fused_attention_packed(
     scale: float,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    causal: bool = True,
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Causal self-attention on PACKED projections: (B, T, H*Dh) -> same.
+    """Fused attention on PACKED projections: (B, T, H*Dh) -> same.
 
     Transpose-free variant of :func:`fused_attention`: the kernel grid is
-    (B, H) and panel (b, h) reads/writes columns [h*Dh, (h+1)*Dh) of the raw
+    (B, head-group) and each panel reads/writes its column group of the raw
     projection output directly, so NO (B,T,H,Dh) <-> (B,H,T,Dh) data movement
     exists anywhere — the r5 device trace showed those transposes
-    materializing as ~33 GB/step of layout copies at the custom-call boundary
-    (the top 'data formatting' consumer, 11.3% of device step time), because
-    XLA cannot fuse a transpose INTO a custom call.
+    materializing as layout copies at the custom-call boundary (XLA cannot
+    fuse a transpose INTO a custom call).
 
-    Semantics are exactly :func:`fused_attention`'s (same kernels, same
-    causal/padding invariants — see its docstring for the T-padding
-    argument).  Dropout masks are BIT-IDENTICAL to the folded layout's: the
-    (B, H) grid's panel id b*H + h equals the (B*H,) grid's program_id, so
-    both layouts seed the same per-panel PRNG stream.
+    ``causal=True``: exactly :func:`fused_attention`'s semantics (same
+    math, same causal/suffix-padding invariants — see its docstring for the
+    T-padding argument).  Dropout masks are BIT-IDENTICAL to the folded
+    layout's: panel id b*H + h equals the (B*H,) grid's program_id, so both
+    layouts seed the same per-panel PRNG stream.
+
+    ``causal=False``: the CROSS-attention variant (decoder frames attending
+    the length-regulated encoder memory, models/kokoro.py::decode_training —
+    q_len == kv_len by construction).  ``kv_lengths`` (B,) gives each row's
+    valid memory length; keys at ``col >= kv_lengths[b]`` are masked, which
+    equals the einsum path's suffix ``key_padding_mask`` (padding is always
+    a suffix in this codebase — bucket collate right-pads).  T-padding stays
+    exact: padded cols are ``>= kv_lengths[b]`` so they are masked for every
+    query, and padded query rows are sliced away (their cotangents are zero
+    in the backward).
     """
     B, T, D = q.shape
     if D % num_heads:
@@ -491,6 +517,10 @@ def fused_attention_packed(
         seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
     else:
         seed = jnp.zeros((), jnp.int32)
+    if kv_lengths is None:
+        lens = jnp.full((B,), T, jnp.int32)
+    else:
+        lens = kv_lengths.astype(jnp.int32)
     Tp = -(-T // 128) * 128
     pad = Tp - T
 
@@ -498,10 +528,23 @@ def fused_attention_packed(
         return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
     out = _fused_packed(
-        (float(scale), float(dropout_rate), int(num_heads)),
+        (float(scale), float(dropout_rate), int(num_heads), bool(causal)),
         seed[None],
+        lens,
         padded(q), padded(k), padded(v),
     )
     if pad:
         out = out[:, :T]
     return out
+
+
+def fused_xattn_supported(q_len: int, kv_len: int, head_dim: int) -> bool:
+    """Shape gate for the non-causal packed variant: same VMEM budget as
+    :func:`fused_supported`, but for cross-attention where q_len == kv_len
+    (the length-regulated memory shares the decoder's frame axis)."""
+    return (
+        q_len == kv_len
+        and MIN_FUSED_LEN <= q_len
+        and -(-q_len // 128) * 128 <= MAX_FUSED_LEN
+        and head_dim in (64, 128)
+    )

@@ -275,19 +275,23 @@ def packed_identity(T=512, dh=64, B=4, H=8, rate=0.1, seed=5):
     pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
     fold = lambda x: x.reshape(B * H, T, dh)
 
+    lens = jnp.full((B,), T, jnp.int32)
+
     def loss_folded(q, k, v):
         out = _fused((scale, rate), seed_arr, fold(q), fold(k), fold(v))
         return jnp.sum(out.astype(jnp.float32) * fold(co).astype(jnp.float32))
 
     def loss_packed(qp, kp, vp):
-        out = _fused_packed((scale, rate, H), seed_arr, qp, kp, vp)
+        out = _fused_packed((scale, rate, H, True), seed_arr, lens, qp, kp, vp)
         return jnp.sum(out.astype(jnp.float32) * pack(co).astype(jnp.float32))
 
     out_f = jax.jit(
         lambda q, k, v: _fused((scale, rate), seed_arr, fold(q), fold(k), fold(v))
     )(q, k, v)
     out_p = jax.jit(
-        lambda q, k, v: _fused_packed((scale, rate, H), seed_arr, pack(q), pack(k), pack(v))
+        lambda q, k, v: _fused_packed(
+            (scale, rate, H, True), seed_arr, lens, pack(q), pack(k), pack(v)
+        )
     )(q, k, v)
     out_f_btd = np.asarray(
         out_f.reshape(B, H, T, dh).transpose(0, 2, 1, 3).reshape(B, T, H * dh),
@@ -308,6 +312,62 @@ def packed_identity(T=512, dh=64, B=4, H=8, rate=0.1, seed=5):
         "grad_bit_mismatches": grad_mismatches,
         "elements": int(B * T * H * dh),
     }
+
+
+def xattn_check(T=512, dh=64, B=4, H=8, seed=7):
+    """Non-causal packed kernel (cross-attention) vs the einsum path's
+    masked semantics, with RAGGED per-row kv lengths (suffix padding):
+    fwd + input-grad rel errors over the VALID region."""
+    import jax
+    import jax.numpy as jnp
+
+    from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+    rng = np.random.default_rng(seed)
+    shape = (B, H, T, dh)
+    q, k, v, co = (
+        jnp.asarray(rng.normal(size=shape), jnp.bfloat16) for _ in range(4)
+    )
+    lens = jnp.asarray(rng.integers(T // 3, T + 1, size=(B,)), jnp.int32)
+    scale = 1.0 / dh**0.5
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+    valid_q = np.ones((B, 1, T, 1), bool)  # every query row is meaningful
+
+    def ref(q, k, v):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        keymask = jnp.arange(T)[None, None, None, :] < lens[:, None, None, None]
+        logits = jnp.where(keymask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+    out_p = jax.jit(
+        lambda q, k, v: fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale,
+            causal=False, kv_lengths=lens,
+        )
+    )(q, k, v)
+    out_r = jax.jit(ref)(q, k, v)
+    res = {"fwd": rel_err(out_p, pack(out_r))}
+
+    def loss_p(q, k, v):
+        out = fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale,
+            causal=False, kv_lengths=lens,
+        )
+        return jnp.sum(out.astype(jnp.float32) * pack(co).astype(jnp.float32))
+
+    def loss_r(q, k, v):
+        return jnp.sum(
+            ref(q, k, v).astype(jnp.float32) * co.astype(jnp.float32)
+        )
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
+        res[name] = rel_err(a * valid_q, b * valid_q)
+    return res
 
 
 def bench_pair(T=512, dh=64, B=32, H=8, iters=30):
@@ -462,6 +522,13 @@ def main() -> int:
 
     ident = packed_identity()
     log(f"packed layout identity (bit-exact vs folded, dropout on): {ident}")
+    xattn = {
+        "xattn_T512_bf16": xattn_check(512, 64),
+        "xattn_T896_bf16": xattn_check(896, 64, B=2),
+    }
+    for k_, v_ in xattn.items():
+        log(f"{k_} (non-causal, ragged kv_lens): {v_}")
+        cases[k_] = v_
 
     bench = {} if args.skip_bench else {
         "T512_B32_H8_fwdbwd": bench_pair(512, 64),

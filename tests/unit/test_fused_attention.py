@@ -330,3 +330,157 @@ class TestPackedInModel:
         np.testing.assert_allclose(
             np.asarray(o_packed), np.asarray(o_plain), rtol=2e-5, atol=2e-5
         )
+
+
+def masked_einsum_reference(q, k, v, scale, lens):
+    """Einsum path with a suffix key mask: col >= lens[b] masked."""
+    T = q.shape[2]
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    keymask = jnp.arange(T)[None, None, None, :] < lens[:, None, None, None]
+    logits = jnp.where(keymask, logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+class TestPackedCrossAttention:
+    """Non-causal packed variant (cross-attention): in-kernel suffix key
+    masking from per-row kv lengths."""
+
+    @pytest.mark.parametrize("T,H,dh", [(128, 2, 64), (256, 4, 64)])
+    def test_noncausal_matches_masked_einsum(self, T, H, dh):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(21)
+        B = 2
+        shape = (B, H, T, dh)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        lens = jnp.asarray(rng.integers(T // 4, T + 1, size=(B,)), jnp.int32)
+        scale = 1.0 / dh**0.5
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        out = fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale,
+            causal=False, kv_lengths=lens,
+        )
+        ref = pack(masked_einsum_reference(q, k, v, scale, lens))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_noncausal_gradients_match(self):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(22)
+        B, H, T, dh = 1, 2, 128, 64
+        shape = (B, H, T, dh)
+        q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        co = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        lens = jnp.asarray([96], jnp.int32)
+        scale = 0.125
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+
+        def loss_p(q, k, v):
+            out = fused_attention_packed(
+                pack(q), pack(k), pack(v), num_heads=H, scale=scale,
+                causal=False, kv_lengths=lens,
+            )
+            return jnp.sum(out * pack(co))
+
+        def loss_r(q, k, v):
+            return jnp.sum(masked_einsum_reference(q, k, v, scale, lens) * co)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gp, gr, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_no_kv_lengths_means_all_valid(self):
+        from kokoro_tpu.ops.fused_attention import fused_attention_packed
+
+        rng = np.random.default_rng(23)
+        B, H, T, dh = 1, 2, 128, 64
+        shape = (B, H, T, dh)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=shape), jnp.float32) for _ in range(3)
+        )
+        scale = 0.125
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        out = fused_attention_packed(
+            pack(q), pack(k), pack(v), num_heads=H, scale=scale, causal=False
+        )
+        lens = jnp.asarray([T], jnp.int32)
+        ref = pack(masked_einsum_reference(q, k, v, scale, lens))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_cross_module_matches_einsum(self):
+        """MHA called cross-style (causal=False, key_padding_mask, rope off)
+        must route the packed-cross branch and equal the einsum module."""
+        rng = np.random.default_rng(24)
+        B, T, D = 2, 128, 128
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        mem = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        pad = jnp.asarray([[False] * 96 + [True] * 32,
+                           [False] * 128])
+        mk = lambda flash: MultiHeadAttention(
+            D, 2, 0.0, use_rope=False, use_flash=flash, qk_norm=True
+        )
+        a_plain, a_packed = mk(False), mk(True)
+        params = a_plain.init(
+            jax.random.PRNGKey(0), x, mem, mem, key_padding_mask=pad
+        )
+        o_plain, _ = a_plain.apply(params, x, mem, mem, key_padding_mask=pad)
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        count0 = blocks.FUSED_TRACE_COUNT
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            o_packed, _ = a_packed.apply(
+                params, x, mem, mem, key_padding_mask=pad
+            )
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+        assert blocks.FUSED_TRACE_COUNT == count0 + 1
+        np.testing.assert_allclose(
+            np.asarray(o_packed), np.asarray(o_plain), rtol=2e-5, atol=2e-5
+        )
+
+    def test_decoder_layer_end_to_end_packed(self):
+        """A full DecoderLayer (self + cross + FF) with both packed branches
+        live must equal the einsum-only layer."""
+        from kokoro_tpu.models.blocks import DecoderBlock
+
+        rng = np.random.default_rng(25)
+        B, T, D = 1, 128, 128
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        mem = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        mem_pad = jnp.asarray([[False] * 112 + [True] * 16])
+        mk = lambda flash: DecoderBlock(
+            d_model=D, num_heads=2, dim_feedforward=192, dropout=0.0,
+            use_flash=flash,
+        )
+        l_plain, l_packed = mk(False), mk(True)
+        params = l_plain.init(
+            jax.random.PRNGKey(0), x, mem, mem_pad, None, True, None, None
+        )
+        o_plain, _ = l_plain.apply(params, x, mem, mem_pad, None, True, None, None)
+        old = blocks.FUSED_ON_CPU_FOR_TESTS
+        blocks.FUSED_ON_CPU_FOR_TESTS = True
+        try:
+            o_packed, _ = l_packed.apply(
+                params, x, mem, mem_pad, None, True, None, None
+            )
+        finally:
+            blocks.FUSED_ON_CPU_FOR_TESTS = old
+        np.testing.assert_allclose(
+            np.asarray(o_packed), np.asarray(o_plain), rtol=3e-5, atol=3e-5
+        )
